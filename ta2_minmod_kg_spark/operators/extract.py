@@ -1,0 +1,340 @@
+"""Ingest → normalized sites + triples (SURVEY §2.2 P1-P9, §2.1 S1/K1).
+
+Front door: the ingest table ``(repo, path, commit, lang, content)``.
+
+- ``with_lineage``      — per-row ``sha256(content)`` (JVM ``sha2``), the
+                          invariant carried through every downstream table.
+- ``parse_sites``       — ``from_json`` with the declared schema (JVM parse,
+                          no inference); structural violations split off.
+- ``normalize_sites``   — the relational site row (ref
+                          `kgrel/mineral_site.py:198-244`): broadcast joins
+                          for source score, JVM column exprs for the
+                          location view ids, one Arrow-vectorized UDF for
+                          site-id minting and WKT centroids.
+- ``extract_triples``   — ``mapInPandas`` fan-out of each record into its
+                          (subj, pred, obj) rows.
+- ``explode_inventories`` — per-inventory rows feeding the grade-tonnage
+                          aggregate (broadcast join for material-form
+                          conversion).
+
+Scale notes: the only shuffle in this module is the optional repartition at
+write; parsing/minting/fan-out are map-side.  Filters/projections stay on
+columns so the parquet scan prunes (``PushedFilters`` visible in explain).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.ids import MR_NS, get_username, make_site_id
+from ..functions.rdf import site_to_triples
+from ..schemas import INGEST, RAW_SITE, TRIPLE
+
+# ---------------------------------------------------------------------------
+
+
+def read_ingest(spark, path: str) -> DataFrame:
+    return spark.read.schema(INGEST).parquet(path)
+
+
+def with_lineage(ingest: DataFrame) -> DataFrame:
+    """content_sha256 = sha256(content) — computed JVM-side once, carried as
+    the per-row invariant (BASELINE.md)."""
+    return ingest.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def parse_sites(ingest: DataFrame) -> DataFrame:
+    """Schema-on-read JSON parse (S1).  Malformed/ill-typed documents yield
+    NULL required fields; split them into a violations side-table with
+    ``split_violations``."""
+    return with_lineage(ingest).withColumn(
+        "site", F.from_json(F.col("content"), RAW_SITE)
+    )
+
+
+def split_violations(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """P5/P6 structural validation as column predicates:
+    required idents present, exactly one site-level reference
+    (ref validators.py:44-54), filename charset rule on ``path``."""
+    ok = (
+        F.col("site.source_id").isNotNull()
+        & F.col("site.record_id").isNotNull()
+        & F.col("site.created_by").isNotNull()
+        & (F.size(F.coalesce(F.col("site.reference"), F.array())) == 1)
+        & F.col("path").rlike(r"^[a-zA-Z0-9_\-,./]+$")
+    )
+    return parsed.filter(ok), parsed.filter(~ok)
+
+
+# -- Arrow-vectorized kernels -------------------------------------------------
+
+
+from pyspark.sql.types import (  # noqa: E402  (DataType objects: no active-session DDL parse at import)
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+@pandas_udf(StringType())
+def site_id_udf(created_by: pd.Series, source_id: pd.Series, record_id: pd.Series) -> pd.Series:
+    out = [
+        make_site_id(get_username(cb), sid, str(rid))
+        for cb, sid, rid in zip(created_by, source_id, record_id)
+    ]
+    return pd.Series(out, dtype="object")
+
+
+_POINT_RE = re.compile(
+    r"^\s*POINT\s*\(\s*([-+0-9.eEnana]+)\s+([-+0-9.eEnan]+)\s*\)\s*$", re.I
+)
+
+try:  # full WKT support when shapely/pyproj are present (not in this sandbox)
+    import shapely.wkt as _shapely_wkt  # pragma: no cover
+
+    _HAVE_SHAPELY = True
+except Exception:
+    _HAVE_SHAPELY = False
+
+
+def _wkt_centroid(wkt: str | None, crs_name: str | None) -> tuple[float | None, float | None]:
+    """Centroid in EPSG:4326 (ref kgrel/custom_types/location.py:115-150).
+
+    POINT is handled natively; richer geometries use shapely when
+    available.  Non-4326 CRS without pyproj → unknown (None, None) — the
+    reference raises there; we degrade because the vocab pins EPSG:4326.
+    """
+    if wkt is None or "nan" in wkt.lower():
+        return None, None
+    crs = crs_name or "EPSG:4326"
+    m = _POINT_RE.match(wkt)
+    if m:
+        try:
+            x, y = float(m.group(1)), float(m.group(2))
+        except ValueError:
+            return None, None
+        if math.isnan(x) or math.isnan(y):
+            return None, None
+        if crs == "EPSG:4326":
+            return y, x
+        return None, None
+    if _HAVE_SHAPELY:  # pragma: no cover
+        try:
+            c = _shapely_wkt.loads(wkt).centroid
+            if crs == "EPSG:4326":
+                return c.y, c.x
+        except Exception:
+            return None, None
+    return None, None
+
+
+@pandas_udf(
+    StructType(
+        [StructField("lat", DoubleType()), StructField("lon", DoubleType())]
+    )
+)
+def centroid_udf(wkt: pd.Series, crs_name: pd.Series) -> pd.DataFrame:
+    lats, lons = [], []
+    for w, c in zip(wkt, crs_name):
+        lat, lon = _wkt_centroid(w, c)
+        lats.append(lat)
+        lons.append(lon)
+    return pd.DataFrame({"lat": lats, "lon": lons})
+
+
+# ---------------------------------------------------------------------------
+
+
+def _norm_ids(entities_col: str):
+    """array<candidate_entity> → array<internal id> of linked entities
+    (ref location.py:151-161) — pure column expr, JVM-side."""
+    return F.transform(
+        F.filter(
+            F.coalesce(F.col(entities_col), F.array()),
+            lambda x: x["normalized_uri"].isNotNull(),
+        ),
+        lambda x: F.replace(x["normalized_uri"], F.lit(MR_NS), F.lit("")),
+    )
+
+
+def normalize_sites(parsed: DataFrame, vocab: dict[str, DataFrame]) -> DataFrame:
+    """P2+P3: the relational site row (SITE_REL schema).
+
+    Broadcast joins: data_source → source_score, crs → crs name.
+    One Arrow UDF for site-id minting, one for centroids; everything else
+    whole-stage-codegen column exprs.
+    """
+    src_scores = F.broadcast(
+        vocab["data_source"].select(
+            F.col("uri").alias("source_id"), F.col("score").alias("source_score")
+        )
+    )
+    crs_names = F.broadcast(
+        vocab["crs"].select(
+            F.concat(F.lit(MR_NS), F.col("minmod_id")).alias("crs_uri"),
+            F.col("name").alias("crs_name"),
+        )
+    )
+
+    df = (
+        parsed.select(
+            "repo",
+            "path",
+            "content_sha256",
+            F.col("site.*"),
+        )
+        .withColumn(
+            "site_id", site_id_udf(F.col("created_by"), F.col("source_id"), F.col("record_id"))
+        )
+        .withColumn(
+            "modified_at_ns",
+            (F.unix_micros(F.to_timestamp(F.col("modified_at")))) * F.lit(1000),
+        )
+    )
+
+    df = df.join(src_scores, "source_id", "left")
+    df = df.join(
+        crs_names,
+        F.col("location_info.crs.normalized_uri") == crs_names["crs_uri"],
+        "left",
+    )
+
+    centroid = centroid_udf(F.col("location_info.location"), F.col("crs_name"))
+    df = df.withColumn("centroid", centroid)
+
+    return df.select(
+        "site_id",
+        F.lit(None).cast("string").alias("dedup_site_id"),
+        "source_id",
+        "source_score",
+        F.col("record_id").cast("string").alias("record_id"),
+        "name",
+        "aliases",
+        F.col("site_rank").alias("rank"),
+        F.col("site_type").alias("type"),
+        F.col("location_info.location").alias("location_wkt"),
+        F.col("location_info.crs").alias("location_crs"),
+        F.col("centroid.lat").alias("lat"),
+        F.col("centroid.lon").alias("lon"),
+        _norm_ids("location_info.country").alias("country"),
+        _norm_ids("location_info.state_or_province").alias("state_or_province"),
+        F.col("deposit_type_candidate").alias("deposit_type_candidates"),
+        F.col("mineral_inventory").alias("inventories"),
+        "reference",
+        "mineral_form",
+        "geology_info",
+        "discovered_year",
+        "created_by",
+        F.col("modified_at_ns").alias("modified_at"),
+        "content_sha256",
+        "repo",
+        "path",
+    )
+
+
+# -- triple fan-out -----------------------------------------------------------
+
+
+def _triples_batch(include_extra: bool):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            subjs, preds, objs, sids = [], [], [], []
+            for content in pdf["content"]:
+                site = json.loads(content)
+                site_id, triples = site_to_triples(site, include_extra=include_extra)
+                for s, p, o in triples:
+                    subjs.append(s)
+                    preds.append(p)
+                    objs.append(o)
+                    sids.append(site_id)
+            yield pd.DataFrame(
+                {"subj": subjs, "pred": preds, "obj": objs, "site_id": sids}
+            )
+
+    return fn
+
+
+def extract_triples(ingest: DataFrame, include_extra: bool = False) -> DataFrame:
+    """P9: one record → N (subj, pred, obj) rows.  Arrow-batched fan-out;
+    no shuffle (output stays partitioned like the scan)."""
+    return ingest.select("content").mapInPandas(
+        _triples_batch(include_extra), schema=TRIPLE
+    )
+
+
+# -- inventory explode for grade-tonnage --------------------------------------
+
+
+def explode_inventories(sites_rel: DataFrame, vocab: dict[str, DataFrame]) -> DataFrame:
+    """A2 prep: one row per (site, inventory) with commodity normalized and
+    the validity flag for the grade-tonnage model
+    (ref kgrel/mineral_site.py:71-116).
+
+    Commodity id + material-form conversion resolve via broadcast joins —
+    never dict lookups in Python.
+    """
+    form_conv = F.broadcast(
+        vocab["commodity_form"].select(
+            F.concat(F.lit(MR_NS), F.col("minmod_id")).alias("form_uri"),
+            F.col("conversion").cast("double").alias("material_form_conversion"),
+        )
+    )
+
+    inv = (
+        sites_rel.select(
+            "site_id",
+            F.posexplode_outer("inventories").alias("inv_pos", "inv"),
+        )
+        .filter(F.col("inv.commodity.normalized_uri").isNotNull())
+        .select(
+            "site_id",
+            "inv_pos",
+            F.replace(
+                F.col("inv.commodity.normalized_uri"), F.lit(MR_NS), F.lit("")
+            ).alias("commodity"),
+            F.col("inv.date").alias("date"),
+            F.col("inv.zone").alias("zone"),
+            F.transform(
+                F.filter(
+                    F.coalesce(F.col("inv.category"), F.array()),
+                    lambda c: c["normalized_uri"].isNotNull(),
+                ),
+                lambda c: c["normalized_uri"],
+            ).alias("category"),
+            F.col("inv.material_form.normalized_uri").alias("form_uri"),
+            F.col("inv.ore.value").alias("ore_value"),
+            F.col("inv.ore.unit.normalized_uri").alias("ore_unit"),
+            F.col("inv.grade.value").alias("grade_value"),
+            F.col("inv.grade.unit.normalized_uri").alias("grade_unit"),
+            (
+                F.col("inv.ore.value").isNotNull()
+                & F.col("inv.ore.unit.normalized_uri").isNotNull()
+                & F.col("inv.grade.value").isNotNull()
+                & F.col("inv.grade.unit.normalized_uri").isNotNull()
+                & (F.size(F.coalesce(F.col("inv.category"), F.array())) > 0)
+            ).alias("valid_gt"),
+        )
+        .join(form_conv, "form_uri", "left")
+    )
+    return inv.select(
+        "site_id",
+        "commodity",
+        "date",
+        "zone",
+        "category",
+        "material_form_conversion",
+        "ore_value",
+        "ore_unit",
+        "grade_value",
+        "grade_unit",
+        "valid_gt",
+    )

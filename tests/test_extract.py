@@ -1,0 +1,91 @@
+"""End-to-end smoke of synthetic ingest → parse → normalize → triples."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+from ta2_minmod_kg_spark.functions.rdf import site_to_triples, triples_to_ttl
+from ta2_minmod_kg_spark.operators import extract
+from ta2_minmod_kg_spark.sources import synthetic, vocab
+
+N = 120
+
+
+def test_make_record_deterministic():
+    a = synthetic.make_record(7, N)
+    b = synthetic.make_record(7, N)
+    assert a == b
+    assert a["source_id"].startswith("https://")
+    assert len(a["reference"]) == 1
+
+
+def test_site_to_triples_shape():
+    rec = synthetic.make_record(3, N)
+    site_id, triples = site_to_triples(rec)
+    assert site_id.startswith("site__")
+    subjects = {s for s, _, _ in triples}
+    # root typed triple present
+    assert (f"mr:{site_id}", "rdf:type", "mo:MineralSite") in triples
+    # deterministic: same input, same triple list
+    assert site_to_triples(rec)[1] == triples
+    # every nested node referenced from somewhere
+    objs = {o for _, _, o in triples}
+    for s in subjects:
+        if s != f"mr:{site_id}" and s.startswith("mr:"):
+            assert s in objs
+    ttl = triples_to_ttl(triples)
+    assert ttl.startswith("@prefix mr:")
+
+
+def test_ingest_pipeline(spark):
+    ingest = synthetic.synthesize_ingest(spark, N, partitions=4)
+    rows = ingest.count()
+    assert rows > N  # expert duplicates add extra rows
+
+    parsed = extract.parse_sites(ingest)
+    ok, bad = extract.split_violations(parsed)
+    assert bad.count() == 0
+    assert ok.count() == rows
+
+    vdfs = vocab.vocab_dataframes(spark)
+    sites = extract.normalize_sites(ok, vdfs)
+    pdf = sites.toPandas()
+    assert len(pdf) == rows
+    assert pdf["site_id"].str.startswith("site__").all()
+    # sha256 invariant: recompute from content and compare
+    raw = ingest.select("content").toPandas()["content"]
+    expect = sorted(hashlib.sha256(c.encode()).hexdigest() for c in raw)
+    assert sorted(pdf["content_sha256"]) == expect
+    # experts duplicate the system rows on (source_id, record_id)
+    n_dups = len(pdf) - pdf[["source_id", "record_id"]].drop_duplicates().shape[0]
+    assert n_dups == sum(1 for n in range(N) if synthetic.has_expert_dup(n))
+    # centroid parsed for POINT rows
+    assert pdf["lat"].notna().sum() > 0
+    assert pdf["lat"].dropna().between(-90, 90).all()
+
+    triples = extract.extract_triples(ingest)
+    tp = triples.toPandas()
+    assert (tp["pred"] == "rdf:type").sum() >= rows
+    # spark output matches the single-node emitter on the same content
+    one = json.loads(raw.iloc[0])
+    sid, expected = site_to_triples(one)
+    got = set(
+        map(tuple, tp[tp["site_id"] == sid][["subj", "pred", "obj"]].values)
+    )
+    assert set(expected) <= got
+
+
+def test_explode_inventories(spark):
+    ingest = synthetic.synthesize_ingest(spark, N, partitions=4)
+    parsed, _ = extract.split_violations(extract.parse_sites(ingest))
+    vdfs = vocab.vocab_dataframes(spark)
+    sites = extract.normalize_sites(parsed, vdfs)
+    inv = extract.explode_inventories(sites, vdfs).toPandas()
+    assert len(inv) > 0
+    assert inv["commodity"].str.startswith("Q").all()
+    assert inv["valid_gt"].any()
+    # material-form conversions resolved via the broadcast join
+    assert inv["material_form_conversion"].notna().sum() > 0
