@@ -1,0 +1,189 @@
+"""Same-as canonicalization (SURVEY §2.3 J3, §2.5 G1-G6).
+
+Pipeline:
+
+1. ``auto_link_edges``     — sites sharing ``(source_id, record_id)`` across
+                             users become star edges (the reference's step-0
+                             auto dedup, `etl/same_as.py:417-466`) — a
+                             groupBy + explode, **no pairwise self-join**.
+2. system edge files       — read as-is (S3).
+3. ``connected_components``— one global CC over all edges (the reference's
+                             two-level local/global trick exists only
+                             because it is driver-bound; Catalyst's partial
+                             aggregation makes the pre-grouping redundant).
+4. ``curated_gold_groups`` — expert CSV edges; a negative edge cancels a
+                             positive iff ``neg.time_ns >= pos.time_ns``
+                             (`etl/same_as.py:298-313`); CC of survivors.
+5. ``splice_gold_groups``  — the reference's ``replace_group``
+                             (`etl/same_as.py:352-381`): every auto group
+                             touching a gold member is dissolved; leftover
+                             members of each dissolved group stay together
+                             as a remainder group; gold groups are inserted
+                             verbatim.
+6. ``attach_singletons`` + ``with_dedup_id`` — unlinked sites become their
+                             own group; every group gets
+                             ``dedup_id = "dedup_" + min(site_ids)``
+                             (`kgrel/mineral_site.py:331-333`).
+7. ``sameas_triples``      — ``canon owl:sameAs member`` rows (self-link
+                             for singletons), `etl/same_as.py:324-334`.
+
+All set algebra is semi/anti joins; the only iterative part is CC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .connected_components import connected_components
+
+
+def auto_link_edges(sites_rel: DataFrame) -> DataFrame:
+    """J3: same (source_id, record_id) ⇒ same site; star edges from the min
+    site id.  groupBy+explode keeps hot records linear (no n² blowup)."""
+    grouped = (
+        sites_rel.groupBy("source_id", "record_id")
+        .agg(F.collect_set("site_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.array_min("ids").alias("u"),
+            F.explode("ids").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    return grouped
+
+
+def curated_gold_groups(curated: DataFrame) -> DataFrame:
+    """G3: CC of curated positive edges that survive negative overrides.
+
+    ``curated``: (ms_1, ms_2, time_ns, is_same).  Divergence note: on
+    duplicate positive rows for a pair the reference keeps the file-order
+    last time_ns (networkx attr overwrite); we keep the max — identical for
+    append-only curation logs.
+    """
+    pair = lambda df: df.select(
+        F.least("ms_1", "ms_2").alias("a"),
+        F.greatest("ms_1", "ms_2").alias("b"),
+        "time_ns",
+    )
+    pos = (
+        pair(curated.filter(F.col("is_same") == 1))
+        .groupBy("a", "b")
+        .agg(F.max("time_ns").alias("pos_t"))
+    )
+    neg = (
+        pair(curated.filter(F.col("is_same") == 0))
+        .groupBy("a", "b")
+        .agg(F.max("time_ns").alias("neg_t"))
+    )
+    surviving = (
+        pos.join(neg, ["a", "b"], "left")
+        .filter(F.col("neg_t").isNull() | (F.col("neg_t") < F.col("pos_t")))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    cc = connected_components(surviving)
+    # nodes of *cancelled* positive edges stay in the curated graph as
+    # singleton gold groups (networkx remove_edge keeps nodes) — this is
+    # what makes a negative override actively SPLIT sites apart even when
+    # system edges still connect them.
+    pos_nodes = (
+        pos.select(F.col("a").alias("node"))
+        .unionAll(pos.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    singles = pos_nodes.join(cc, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return cc.unionAll(singles)
+
+
+def splice_gold_groups(membership: DataFrame, gold: DataFrame) -> DataFrame:
+    """G4 replace_group.  ``membership``/(node, component), ``gold`` same.
+
+    Returns a new (node, component) where affected auto groups are replaced
+    by gold groups plus per-old-group remainder groups.  Component labels
+    are re-canonicalized to the min member.
+    """
+    gold = gold.select("node", F.col("component").alias("gold_component"))
+    affected = (
+        membership.join(gold, "node", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    untouched = membership.join(affected, "component", "left_anti").select(
+        "node", "component"
+    )
+    dissolved = membership.join(affected, "component", "left_semi")
+    remainder = dissolved.join(gold, "node", "left_anti").select(
+        "node", F.concat(F.lit("rem__"), F.col("component")).alias("component")
+    )
+    new_membership = untouched.unionAll(
+        gold.select("node", F.col("gold_component").alias("component"))
+    ).unionAll(remainder)
+    return relabel_min(new_membership)
+
+
+def relabel_min(membership: DataFrame) -> DataFrame:
+    """Canonical component label = min(node) — one shuffle on component."""
+    labels = membership.groupBy("component").agg(F.min("node").alias("canon"))
+    return membership.join(labels, "component").select(
+        "node", F.col("canon").alias("component")
+    )
+
+
+def attach_singletons(membership: DataFrame, sites_rel: DataFrame) -> DataFrame:
+    """G5 + J4: restrict membership to known sites, then unlinked sites
+    become their own group (`etl/mineral_site.py:172-189`)."""
+    site_ids = sites_rel.select(F.col("site_id").alias("node")).distinct()
+    known = membership.join(site_ids, "node", "left_semi")
+    singles = site_ids.join(membership, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return known.unionAll(singles)
+
+
+def with_dedup_id(membership: DataFrame) -> DataFrame:
+    """(node, component) → (site_id, dedup_site_id) with the reference's
+    deterministic id (dedup_ + min member)."""
+    canon = relabel_min(membership)
+    return canon.select(
+        F.col("node").alias("site_id"),
+        F.concat(F.lit("dedup_"), F.col("component")).alias("dedup_site_id"),
+    )
+
+
+def sameas_triples(membership: DataFrame) -> DataFrame:
+    """G6: per group emit ``min owl:sameAs member`` (self-link when the
+    group is a singleton)."""
+    canon = relabel_min(membership)
+    sizes = canon.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        canon.join(sizes, "component")
+        .filter((F.col("node") != F.col("component")) | (F.col("n") == 1))
+        .select(
+            F.concat(F.lit("mr:"), F.col("component")).alias("subj"),
+            F.lit("owl:sameAs").alias("pred"),
+            F.concat(F.lit("mr:"), F.col("node")).alias("obj"),
+            F.col("component").alias("site_id"),
+        )
+    )
+
+
+def build_membership(
+    sites_rel: DataFrame,
+    system_edges: DataFrame | None = None,
+    curated: DataFrame | None = None,
+) -> DataFrame:
+    """Full G1-G5 flow → (site_id, dedup_site_id) for every site."""
+    edges = auto_link_edges(sites_rel)
+    if system_edges is not None:
+        edges = edges.unionAll(
+            system_edges.select(F.col("ms_1").alias("u"), F.col("ms_2").alias("v"))
+        )
+    membership = connected_components(edges)
+    if curated is not None:
+        gold = curated_gold_groups(curated)
+        membership = splice_gold_groups(membership, gold)
+    membership = attach_singletons(membership, sites_rel)
+    return with_dedup_id(membership)

@@ -1,0 +1,128 @@
+"""Distributed connected components (SURVEY §2.5 G1/G2).
+
+The reference builds a networkx graph in driver memory
+(`minmodkg/etl/same_as.py:222-230,406-407`) — a non-starter at 10^12 rows.
+Here: the **alternating large-star / small-star** algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), pure DataFrame
+joins/aggregations, converging in O(log² n) rounds (in practice < ~8 even
+with our planted giant chain, because every round halves path lengths
+star-wise, not step-wise).
+
+Properties that matter here:
+- labels are the **lexicographic min** node id of each component — exactly
+  the reference's deterministic group id rule ("dedup_"+min), so the label
+  IS the canonical id; no relabel pass needed;
+- every round is two shuffles on the node id (groupBy + self-join), AQE
+  handles the skewed giant-component key;
+- ``localCheckpoint`` every round truncates the logical plan — without it
+  the iterative join lineage grows exponentially and the driver dies at
+  plan-optimization time long before data size matters.
+
+Convergence test: a round is a fixpoint when the edge multiset is
+unchanged; we compare a cheap order-insensitive fingerprint
+(count + sum of xxhash64(u,v)) instead of a full except() — one tiny
+aggregate per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _nbrs_both_dirs(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return edges.unionAll(rev)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    nbrs = _nbrs_both_dirs(edges)
+    m = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small, then connect every small neighbor (and u)
+    to the minimum of the ≤-neighborhood."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = (
+        directed.groupBy("u")
+        .agg(F.min("v").alias("m"))
+    )
+    nbrs_plus_self = directed.unionAll(
+        directed.select("u", F.col("u").alias("v"))
+    ).distinct()
+    return (
+        nbrs_plus_self.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, checkpoint_every: int = 1
+) -> DataFrame:
+    """edges(u, v) → membership(node, component) where component = min id.
+
+    Self-loops and duplicates tolerated.  Nodes that appear only in
+    self-loops map to themselves; isolated nodes (absent from ``edges``)
+    are the caller's business (union them afterwards — see
+    canonicalize.attach_singletons).
+    """
+    raw = edges.select(F.col("u").cast("string"), F.col("v").cast("string"))
+    all_nodes = (
+        _nbrs_both_dirs(raw)
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    prev_fp = None
+    for it in range(max_iter):
+        e2 = _small_star(_large_star(e))
+        if checkpoint_every and it % checkpoint_every == 0:
+            e2 = e2.localCheckpoint(eager=True)
+        fp = _fingerprint(e2)
+        if fp == prev_fp:
+            e = e2
+            break
+        prev_fp = fp
+        e = e2
+    # at the fixpoint every edge points node → component-min
+    membership = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # roots (component minima) map to themselves; nodes that vanished from
+    # the edge list (interior of resolved stars) are already present —
+    # small-star keeps (u, m) for every u.  Add roots + any dropped nodes.
+    covered = membership.select("node")
+    missing = all_nodes.join(covered, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return membership.unionAll(missing)

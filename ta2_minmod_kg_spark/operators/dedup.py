@@ -1,0 +1,342 @@
+"""Dedup-site merge (SURVEY §2.4 A3-A5): one row per same-as group.
+
+Semantics (clean-room from `minmodkg/models/kgrel/dedup_mineral_site.py:203-383`
+and `custom_types/site_and_score.py:27-61`):
+
+- rank the group's sites by **SiteScore** descending: experts (non-system
+  ``created_by``) get score 1.0 and tie-break on ``modified_at``; system
+  sites get ``min(source_score, 0.99)`` (default 0.5 when missing/negative)
+  and tie-break on ``(source_id, record_id, modified_at)``.  We append
+  ``site_id`` as a final total-order tie-break (the reference falls back to
+  input iteration order, which a distributed engine must not depend on);
+- every merged attribute = first non-null in rank order, carrying the
+  contributing ``site_id`` as ``refid`` provenance (RefValue);
+  geology merges **per sub-attribute** (RefGeologyInfo.from_sites);
+- deposit types: dedup by normalized id keeping max ``(confidence, rank)``,
+  sort desc, top 5; ``top1_deposit_type`` = first;
+- inventory selection per commodity: user beats system; then
+  has-grade-tonnage beats not; then latest date; then max contained metal
+  (first-wins on ties, in ranked-site iteration order) —
+  ``select_inventories`` (`dedup_mineral_site.py:316-383`);
+- ``modified_at`` = group max.
+
+Execution: one ``groupBy(dedup_site_id).applyInPandas`` for attributes and
+one for inventories.  Groups are normally tiny; the planted giant cluster
+is the skew case — AQE skew-split cannot split a single group, so the
+group kernel is O(group) with small constant (no quadratic work), and the
+attribute frame is column-pruned to the narrow merge inputs before the
+shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ids import MR_NS
+
+SYSTEM_PREFIX = "https://minmod.isi.edu/users/s/"
+DEFAULT_SOURCE_SCORE = 0.5  # ref minmodkg/config.py:28
+
+
+def with_site_score(sites: DataFrame) -> DataFrame:
+    """JVM-side SiteScore columns (score, is_expert)."""
+    clean_src = F.when(
+        F.col("source_score") >= 0, F.col("source_score")
+    ).otherwise(F.lit(None))
+    return sites.withColumn(
+        "is_expert", ~F.col("created_by").startswith(F.lit(SYSTEM_PREFIX))
+    ).withColumn(
+        "score",
+        F.when(F.col("is_expert"), F.lit(1.0)).otherwise(
+            F.least(F.coalesce(clean_src, F.lit(DEFAULT_SOURCE_SCORE)), F.lit(0.99))
+        ),
+    )
+
+
+def _rank_key(row) -> tuple:
+    # total order mirroring SiteScore (desc sort): experts compare on
+    # modified_at; systems on (source_id, record_id, modified_at)
+    if row.is_expert:
+        return (row.score, 1, "", "", row.modified_at, row.site_id)
+    return (row.score, 0, row.source_id, row.record_id, row.modified_at, row.site_id)
+
+
+def _ref(value, refid):
+    return None if value is None else {"value": value, "refid": refid}
+
+
+def _first_non_null(ranked, getter):
+    for row in ranked:
+        v = getter(row)
+        if v is not None:
+            return _ref(v, row.site_id)
+    return None
+
+
+DEDUP_ATTRS_SCHEMA = (
+    "dedup_site_id string,"
+    "name struct<value:string,refid:string>,"
+    "type struct<value:string,refid:string>,"
+    "rank struct<value:string,refid:string>,"
+    "top1_deposit_type string,"
+    "ranked_deposit_types array<struct<id:string,source:string,confidence:double,refid:string>>,"
+    "coordinates struct<lat:double,lon:double,refid:string>,"
+    "country struct<value:array<string>,refid:string>,"
+    "state_or_province struct<value:array<string>,refid:string>,"
+    "mineral_form struct<value:array<string>,refid:string>,"
+    "geology_info string,"  # JSON of per-field RefValues (sparse nested map)
+    "discovered_year struct<value:int,refid:string>,"
+    "ranked_sites array<struct<site_id:string,score:double,is_expert:boolean>>,"
+    "modified_at long"
+)
+
+_ATTR_INPUT_COLS = [
+    "dedup_site_id",
+    "site_id",
+    "source_id",
+    "record_id",
+    "created_by",
+    "modified_at",
+    "score",
+    "is_expert",
+    "name",
+    "type",
+    "rank",
+    "lat",
+    "lon",
+    "country",
+    "state_or_province",
+    "mineral_form",
+    "geology_info",
+    "discovered_year",
+    "deposit_type_candidates",
+]
+
+
+def _merge_geology(ranked) -> Optional[dict]:
+    """RefGeologyInfo.from_sites: first-non-null per sub-attribute."""
+    out = {}
+    for field in (
+        "alteration",
+        "concentration_process",
+        "ore_control",
+        "structure",
+        "tectonic",
+    ):
+        r = _first_non_null(
+            ranked,
+            lambda row, f=field: (row.geology_info or {}).get(f)
+            if row.geology_info is not None
+            else None,
+        )
+        if r is not None:
+            out[field] = r
+    for rock in ("host_rock", "associated_rock"):
+        sub = {}
+        for field in ("unit", "type"):
+            r = _first_non_null(
+                ranked,
+                lambda row, rk=rock, f=field: (
+                    ((row.geology_info or {}).get(rk) or {}).get(f)
+                    if row.geology_info is not None
+                    else None
+                ),
+            )
+            if r is not None:
+                sub[field] = r
+        if sub:
+            out[rock] = sub
+    return out or None
+
+
+def _top5_deposit_types(ranked) -> list[dict]:
+    # ref dedup_mineral_site.py:460-493 — key = (confidence, site rank);
+    # strictly-greater replaces, so the highest-ranked site wins ties.
+    best: dict[str, tuple[tuple, dict]] = {}
+    order: list[str] = []
+    for rank_i, row in enumerate(ranked):
+        for dt in row.deposit_type_candidates or []:
+            uri = dt.get("normalized_uri")
+            if uri is None:
+                continue
+            dt_id = uri[len(MR_NS):] if uri.startswith(MR_NS) else uri
+            conf = dt.get("confidence")
+            key = (conf, -rank_i)  # higher rank = smaller index = bigger key
+            cur = best.get(dt_id)
+            if cur is None:
+                best[dt_id] = (
+                    key,
+                    {
+                        "id": dt_id,
+                        "source": dt.get("source"),
+                        "confidence": conf,
+                        "refid": row.site_id,
+                    },
+                )
+                order.append(dt_id)
+            elif key > cur[0]:
+                best[dt_id] = (key, {**cur[1], "source": dt.get("source"), "confidence": conf, "refid": row.site_id})
+    ranked_dts = sorted(
+        (best[d] for d in order), key=lambda kv: kv[0], reverse=True
+    )
+    return [kv[1] for kv in ranked_dts[:5]]
+
+
+def _dedup_attrs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    import json
+
+    ranked = sorted(
+        pdf.itertuples(index=False), key=_rank_key, reverse=True
+    )
+    dedup_id = ranked[0].dedup_site_id
+
+    coordinates = None
+    for row in ranked:
+        if row.lat is not None and row.lon is not None and pd.notna(row.lat) and pd.notna(row.lon):
+            coordinates = {"lat": row.lat, "lon": row.lon, "refid": row.site_id}
+            break
+
+    def list_attr(getter):
+        for row in ranked:
+            v = getter(row)
+            if v is not None and len(v) > 0:
+                return {"value": list(v), "refid": row.site_id}
+        return {"value": [], "refid": ranked[0].site_id}
+
+    geology = _merge_geology(ranked)
+    dts = _top5_deposit_types(ranked)
+    rec = {
+        "dedup_site_id": dedup_id,
+        "name": _first_non_null(ranked, lambda r: r.name),
+        "type": _first_non_null(ranked, lambda r: r.type),
+        "rank": _first_non_null(ranked, lambda r: r.rank),
+        "top1_deposit_type": dts[0]["id"] if dts else None,
+        "ranked_deposit_types": dts,
+        "coordinates": coordinates,
+        "country": list_attr(lambda r: r.country),
+        "state_or_province": list_attr(lambda r: r.state_or_province),
+        "mineral_form": list_attr(lambda r: r.mineral_form),
+        "geology_info": json.dumps(geology, sort_keys=True) if geology else None,
+        "discovered_year": _first_non_null(ranked, lambda r: r.discovered_year),
+        "ranked_sites": [
+            {"site_id": r.site_id, "score": r.score, "is_expert": bool(r.is_expert)}
+            for r in ranked
+        ],
+        "modified_at": max(r.modified_at for r in ranked),
+    }
+    return pd.DataFrame([rec])
+
+
+def merge_dedup_sites(sites_with_dedup: DataFrame) -> DataFrame:
+    """A3/A4: group-merge.  Input: SITE_REL columns + dedup_site_id.
+    Column-pruned before the shuffle; one applyInPandas stage."""
+    narrow = with_site_score(sites_with_dedup).select(*_ATTR_INPUT_COLS)
+    return narrow.groupBy("dedup_site_id").applyInPandas(
+        _dedup_attrs_fn, schema=DEDUP_ATTRS_SCHEMA
+    )
+
+
+# -- inventory selection (A5) --------------------------------------------------
+
+DEDUP_INV_SCHEMA = (
+    "dedup_site_id string, commodity string, site_id string, "
+    "contained_metal double, tonnage double, grade double, date string"
+)
+
+
+def _select_inv_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact select_inventories semantics over one dedup group."""
+    dedup_id = pdf["dedup_site_id"].iloc[0]
+    # ranked site order first, then per-site inventory rows
+    site_rows: dict[str, list] = {}
+    site_keys: dict[str, tuple] = {}
+    for row in pdf.itertuples(index=False):
+        site_rows.setdefault(row.site_id, [])
+        site_keys[row.site_id] = _rank_key(row)
+        if row.commodity is not None:
+            site_rows[row.site_id].append(row)
+    ranked_sites = sorted(site_keys, key=site_keys.get, reverse=True)
+
+    comm2inv: dict[str, dict] = {}
+    for site_id in ranked_sites:
+        is_user = bool(site_rows[site_id][0].is_expert) if site_rows[site_id] else False
+        for inv in site_rows[site_id]:
+            is_from_user = bool(inv.is_expert)
+            cur = comm2inv.get(inv.commodity)
+            if cur is None:
+                comm2inv[inv.commodity] = {"inv": inv, "from_user": is_from_user}
+                continue
+            if cur["from_user"] != is_from_user:
+                if is_from_user:
+                    comm2inv[inv.commodity] = {"inv": inv, "from_user": True}
+                continue
+            cmp_inv = cur["inv"]
+            if inv.contained_metal is not None and pd.notna(inv.contained_metal):
+                cm_cur = cmp_inv.contained_metal
+                cm_cur_null = cm_cur is None or pd.isna(cm_cur)
+                if cm_cur_null:
+                    comm2inv[inv.commodity] = {"inv": inv, "from_user": is_from_user}
+                    continue
+                if inv.date is not None and (
+                    cmp_inv.date is None or inv.date > cmp_inv.date
+                ):
+                    comm2inv[inv.commodity] = {"inv": inv, "from_user": is_from_user}
+                    continue
+                if inv.contained_metal > cm_cur:
+                    comm2inv[inv.commodity] = {"inv": inv, "from_user": is_from_user}
+                    continue
+    out = [
+        {
+            "dedup_site_id": dedup_id,
+            "commodity": c,
+            "site_id": d["inv"].site_id,
+            "contained_metal": _nn(d["inv"].contained_metal),
+            "tonnage": _nn(d["inv"].tonnage),
+            "grade": _nn(d["inv"].grade),
+            "date": d["inv"].date,
+        }
+        for c, d in comm2inv.items()
+    ]
+    return pd.DataFrame(
+        out,
+        columns=[
+            "dedup_site_id",
+            "commodity",
+            "site_id",
+            "contained_metal",
+            "tonnage",
+            "grade",
+            "date",
+        ],
+    )
+
+
+def _nn(v):
+    return None if v is None or pd.isna(v) else float(v)
+
+
+def select_dedup_inventories(
+    sites_with_dedup: DataFrame, inv_views: DataFrame
+) -> DataFrame:
+    """A5: per (group, commodity) pick the authoritative inventory view.
+
+    ``inv_views``: INV_VIEW rows (site_id, commodity, ...).  Sites without
+    inventories still participate in ranking via a left join.
+    """
+    ranked = with_site_score(sites_with_dedup).select(
+        "site_id",
+        "dedup_site_id",
+        "source_id",
+        "record_id",
+        "modified_at",
+        "score",
+        "is_expert",
+    )
+    joined = ranked.join(inv_views, "site_id", "left")
+    return joined.groupBy("dedup_site_id").applyInPandas(
+        _select_inv_fn, schema=DEDUP_INV_SCHEMA
+    )

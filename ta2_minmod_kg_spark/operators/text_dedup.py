@@ -1,0 +1,203 @@
+"""Document deduplication suite (training-data pipeline surface).
+
+Operates on the ``documents`` table (doc_id, text, lang, source, n_chars).
+All variants are pure DataFrame ops (JVM/codegen); nothing leaves the JVM.
+
+- ``exact_duplicates``    — hash-groupBy on a normalized fingerprint.
+- ``minhash_signatures``  — word-shingle MinHash (H hash functions as
+                            column expressions over ``xxhash64(seed, s)``).
+- ``lsh_candidate_pairs`` — banding: split the signature into B bands,
+                            bucket-join on (band, band-hash); candidates
+                            verified with exact shingle Jaccard.
+- ``simhash_signatures``  — 64-bit SimHash as 64 per-bit aggregates; near
+                            -dup join on 16-bit bands (pigeonhole: any pair
+                            with Hamming distance ≤ 3 shares ≥1 band).
+- ``ngram_jaccard_pairs`` — exact Jaccard over shingle sets for a candidate
+                            pair list (the verify stage).
+
+Scale notes: banding bounds the join fan-out — the bucket join shuffles on
+(band_id, hash) which is uniform by construction; the only quadratic work
+is *within* buckets, bounded by duplicate-cluster size.  At 100 TB you'd
+also salt the degenerate all-identical bucket (guard with a bucket-size cap
+here, ``max_bucket`` below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint64, shingles
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (fingerprint, doc_ids,
+    n_dups), only groups with >1 member."""
+    return (
+        documents.select(
+            fingerprint64(F.col("text")).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 32, shingle_k: int = 3
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_hashes])."""
+    sh = shingles(F.col("text"), shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+    return documents.select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates, verified with exact Jaccard.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, shingle_k)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    # bucket-size cap guards the degenerate all-identical bucket
+    sized = banded.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bsz") <= max_bucket)
+
+    left = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    right = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(cand, documents, shingle_k)
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame, documents: DataFrame, shingle_k: int = 3
+) -> DataFrame:
+    """Exact word-shingle Jaccard for (doc_a, doc_b) pairs."""
+    sh = documents.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), shingle_k)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / F.when(union > 0, union).otherwise(F.lit(1))).alias("jaccard"),
+        )
+    )
+
+
+def simhash_signatures(documents: DataFrame, nbits: int = 64) -> DataFrame:
+    """(doc_id, bits array<int>[nbits], band keys array<bigint>[4]).
+
+    Per-bit majority vote over token hashes — nbits aggregate expressions,
+    all inside one codegen stage.
+    """
+    toks = F.transform(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: F.xxhash64(w)
+    )
+    bit_cols = [
+        (
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, h, j=j: acc
+                + (
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+                ),
+            )
+            > 0
+        ).cast("int")
+        for j in range(nbits)
+    ]
+    df = documents.select("doc_id", F.array(*bit_cols).alias("bits"))
+    band_width = nbits // 4
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("bits"), b * band_width + 1, band_width),
+                        lambda x: x.cast("string"),
+                    ),
+                    "",
+                ),
+            )
+            for b in range(4)
+        ]
+    )
+    return df.withColumn("bands", bands)
+
+
+def simhash_near_duplicates(
+    documents: DataFrame, max_hamming: int = 3, nbits: int = 64
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within max_hamming bits.
+
+    Banding on 4×(nbits/4)-bit keys guarantees recall for distance ≤ 3.
+    """
+    sigs = simhash_signatures(documents, nbits)
+    exploded = sigs.select(
+        "doc_id", "bits", F.posexplode("bands").alias("band", "bucket")
+    )
+    left = exploded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a")
+    )
+    right = exploded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b")
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
