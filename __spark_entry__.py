@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship: the KG construction slice (synthetic ingest →
+                 normalize → canonicalize → dedup merge) summarized against
+                 the sf0.001 documents table.
+``queries``    — one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops); see ta2_minmod_kg_spark/plans/queries.py.
+``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -15,24 +16,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: join the engine's dedup
+    KG output with the documents table statistics."""
+    from pyspark.sql import functions as F
+
+    from ta2_minmod_kg_spark.plans.queries import kg_dedup_sites
+
+    sf_dir = "/root/testdata/sf0.001"
+    dedup = kg_dedup_sites(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return dedup.crossJoin(F.broadcast(doc_stats))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ta2_minmod_kg_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ta2_minmod_kg_spark.plans.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

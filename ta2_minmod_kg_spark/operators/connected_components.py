@@ -82,15 +82,52 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["c"]), int(row["h"])
 
 
+def _union_find_finish(e: DataFrame) -> DataFrame:
+    """Driver-side union-find for a small residual edge set.
+
+    Standard hybrid: once the (shrinking) edge set fits comfortably in
+    driver memory, one collect + union-find beats several more distributed
+    rounds.  At production scale the threshold keeps the heavy phase
+    distributed; tests and small tails finish instantly.
+    """
+    spark = e.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.toLocalIterator():
+        u, v = row["u"], row["v"]
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min label → root IS the component id
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+        parent.setdefault(u, find(u))
+        parent.setdefault(v, find(v))
+
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, "u string, v string")
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 30, checkpoint_every: int = 1
+    edges: DataFrame,
+    max_iter: int = 30,
+    checkpoint_every: int = 1,
+    driver_finish_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges(u, v) → membership(node, component) where component = min id.
 
-    Self-loops and duplicates tolerated.  Nodes that appear only in
-    self-loops map to themselves; isolated nodes (absent from ``edges``)
-    are the caller's business (union them afterwards — see
-    canonicalize.attach_singletons).
+    Alternating large/small-star rounds; when the live edge count drops
+    below ``driver_finish_threshold`` the tail is finished with a
+    driver-side union-find (bounded memory — ~50 MB at the default).
+    Self-loops and duplicates tolerated.  Isolated nodes (absent from
+    ``edges``) are the caller's business (see canonicalize.attach_singletons).
     """
     raw = edges.select(F.col("u").cast("string"), F.col("v").cast("string"))
     all_nodes = (
@@ -107,6 +144,10 @@ def connected_components(
 
     prev_fp = None
     for it in range(max_iter):
+        n_edges, _ = prev_fp if prev_fp else _fingerprint(e)
+        if n_edges <= driver_finish_threshold:
+            e = _union_find_finish(e)
+            break
         e2 = _small_star(_large_star(e))
         if checkpoint_every and it % checkpoint_every == 0:
             e2 = e2.localCheckpoint(eager=True)

@@ -159,7 +159,10 @@ def _top5_deposit_types(ranked) -> list[dict]:
     best: dict[str, tuple[tuple, dict]] = {}
     order: list[str] = []
     for rank_i, row in enumerate(ranked):
-        for dt in row.deposit_type_candidates or []:
+        cands = row.deposit_type_candidates
+        if cands is None:
+            cands = []
+        for dt in cands:
             uri = dt.get("normalized_uri")
             if uri is None:
                 continue

@@ -138,18 +138,16 @@ def simhash_signatures(documents: DataFrame, nbits: int = 64) -> DataFrame:
     toks = F.transform(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: F.xxhash64(w)
     )
+
+    def _bit_vote(j: int):
+        # NB: bind j via closure, NOT a lambda default — pyspark's lambda
+        # introspection treats extra parameters as lambda variables
+        return lambda acc, h: acc + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        )
+
     bit_cols = [
-        (
-            F.aggregate(
-                toks,
-                F.lit(0),
-                lambda acc, h, j=j: acc
-                + (
-                    F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-                ),
-            )
-            > 0
-        ).cast("int")
+        (F.aggregate(toks, F.lit(0), _bit_vote(j)) > 0).cast("int")
         for j in range(nbits)
     ]
     df = documents.select("doc_id", F.array(*bit_cols).alias("bits"))

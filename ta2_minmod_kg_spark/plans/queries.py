@@ -1,0 +1,739 @@
+"""Driver-contract query catalog (SURVEY §2.7 + training-data ops).
+
+Each entry couples a Spark DataFrame program with (where SQL-expressible) a
+DuckDB oracle over the same parquet tables.  Column names are aliased
+identically on both sides — the driver hash-compares values after sorting
+columns by name.
+
+Conventions:
+- every callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+- results are deterministic: explicit ORDER BY / tie-broken top-k;
+- oracle-less entries (graph fixpoints, LSH, the KG pipeline itself) are
+  listed in QUERIES with no ORACLE_SQL key → the driver records the weaker
+  rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan/filter/agg/join/window/top-k — SURVEY §2.4/§2.7)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide aggregate with computed expressions; exercises
+    partial aggregation + codegen (one shuffle)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """3-way join + agg + top-10 (broadcastable dims)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_supplier_volume(spark, sf_dir):
+    """5-way star join grouped by nation — the broadcast-dim pattern."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def antijoin_customers_without_orders(spark, sf_dir):
+    """Left-anti join (the vocabulary-violation / orphan pattern P7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ANTIJOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def events_user_stats(spark, sf_dir):
+    """Event-log aggregate (A9 shape): count/avg/max per user × type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+EVENTS_STATS_SQL = """
+SELECT user_id, event_type, count(*) AS n_events,
+       round(avg(value), 6) AS avg_value, max(ts) AS last_ts
+FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+
+def events_sessionized(spark, sf_dir):
+    """Window functions: per-user ordering, lag, session cut at 30 min —
+    the stateful-stream analog in batch (SURVEY §2.8)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w)
+    return (
+        e.withColumn("session_no", sess)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
+def top_parts_by_size(spark, sf_dir):
+    """Rank-based top-k per group (A4 top-5 deposit types shape)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "rank", "p_partkey", "p_retailprice")
+        .orderBy("p_brand", "rank")
+    )
+
+
+TOP_PARTS_SQL = """
+SELECT p_brand, rank, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part
+) WHERE rank <= 3 ORDER BY p_brand, rank
+"""
+
+
+def orders_running_total(spark, sf_dir):
+    """Running aggregate window (event-log incremental shape U5)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       AS running_total
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+def events_hourly_rollup(spark, sf_dir):
+    """Watermarked tumbling-window rollup (streaming/events.py operator,
+    run on the batch table — identical plan modulo the state store)."""
+    from ..streaming.events import windowed_event_counts
+
+    e = _t(spark, sf_dir, "events")
+    return windowed_event_counts(e).orderBy("window_start", "event_type")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph: connected components with a SQL-checkable topology
+# ---------------------------------------------------------------------------
+
+
+def cc_customer_order_graph(spark, sf_dir):
+    """Connected components over the bipartite customer↔order graph using
+    the engine's large/small-star operator.  Star topology → the component
+    label is SQL-derivable (least of the customer node and its min order
+    node), giving the CC operator a DuckDB oracle."""
+    from ..operators.connected_components import connected_components
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("c"), F.format_string("%08d", "o_custkey")).alias("u"),
+        F.concat(F.lit("o"), F.format_string("%08d", "o_orderkey")).alias("v"),
+    )
+    return connected_components(edges).orderBy("node")
+
+
+CC_SQL = """
+WITH labels AS (
+  SELECT o_custkey,
+         least('c' || format('{:08d}', o_custkey),
+               min('o' || format('{:08d}', o_orderkey))) AS component
+  FROM orders GROUP BY o_custkey
+), nodes AS (
+  SELECT DISTINCT 'c' || format('{:08d}', o_custkey) AS node, o_custkey FROM orders
+  UNION ALL
+  SELECT 'o' || format('{:08d}', o_orderkey) AS node, o_custkey FROM orders
+)
+SELECT n.node AS node, l.component AS component
+FROM nodes n JOIN labels l ON n.o_custkey = l.o_custkey
+ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite over `documents`
+# ---------------------------------------------------------------------------
+
+
+def docs_exact_dups(spark, sf_dir):
+    """Exact dedup via normalized-text grouping (SQL-checkable variant of
+    the xxhash fingerprint path)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.select(norm.alias("norm"), "doc_id")
+        .groupBy("norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .select("keep_doc_id", "n_dups")
+        .orderBy("keep_doc_id")
+    )
+
+
+DOCS_EXACT_SQL = r"""
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents)
+GROUP BY norm HAVING count(*) > 1
+ORDER BY keep_doc_id
+"""
+
+
+def docs_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates verified by exact Jaccard ≥ 0.8
+    (rows-only check: signature hashes are engine-specific)."""
+    from ..operators.text_dedup import lsh_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        lsh_candidate_pairs(d, num_hashes=32, bands=8, shingle_k=3)
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def docs_simhash(spark, sf_dir):
+    """SimHash near-duplicates (Hamming ≤ 3) — rows-only."""
+    from ..operators.text_dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def docs_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard for doc pairs sharing a source (blocked
+    all-pairs) — SQL oracle via DuckDB list functions."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from ..functions.text import shingles
+
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh"),
+    )
+    a = sh.select(
+        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("source"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.when(union > 0, union).otherwise(1), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DOCS_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, len(w) - 1)])
+         ELSE [array_to_string(w, ' ')] END AS sh
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)
+       AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analytics over `documents`
+# ---------------------------------------------------------------------------
+
+
+def docs_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.text import token_count
+
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+DOCS_TOKENS_SQL = r"""
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+def docs_quality(spark, sf_dir):
+    """Quality scoring + language id (heuristics are engine-defined →
+    rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.text import language_id, quality_score
+
+    return d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        language_id(F.col("text")).alias("lang_detected"),
+    ).orderBy("doc_id")
+
+
+def docs_fingerprint(spark, sf_dir):
+    """64-bit rolling fingerprint per doc (rows-only: xxhash64 is
+    engine-specific)."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.text import fingerprint64
+
+    return d.select(
+        "doc_id", fingerprint64(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+
+def emb_topk_cosine(spark, sf_dir):
+    """Exact brute-force cosine top-3 for the 20 lowest vec_ids —
+    DuckDB list_cosine_similarity oracle."""
+    from ..operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = brute_force_topk(e, q, k=3)
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+EMB_TOPK_SQL = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 20
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked
+WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+def emb_lsh_neardups(spark, sf_dir):
+    """LSH-bucketed near-duplicate pairs (cosine ≥ 0.99) — rows-only."""
+    from ..operators.similarity import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_duplicates(e, threshold=0.99)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def emb_label_centroid_sim(spark, sf_dir):
+    """Per-label centroid then each vector's cosine to its centroid —
+    aggregate-over-arrays pattern; SQL oracle via DuckDB list ops."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = F.size(F.col("embedding"))
+    summed = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+        .select(
+            "label", F.transform("pairs", lambda p: p["m"]).alias("centroid")
+        )
+    )
+    from ..operators.similarity import _dot, _norm
+
+    j = e.join(F.broadcast(summed), "label")
+    cos = _dot(F.col("embedding"), F.col("centroid")) / (
+        _norm(F.col("embedding")) * _norm(F.col("centroid"))
+    )
+    return j.select(
+        "vec_id", "label", F.round(cos, 4).alias("cos_to_centroid")
+    ).orderBy("vec_id")
+
+
+EMB_CENTROID_SQL = """
+WITH ex AS (
+  SELECT label, vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), cent AS (
+  SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i
+), cl AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM cent GROUP BY label
+)
+SELECT e.vec_id AS vec_id, e.label AS label,
+       round(list_cosine_similarity(e.embedding, cl.centroid), 4)
+       AS cos_to_centroid
+FROM embeddings e JOIN cl ON e.label = cl.label
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline entries (non-SQL-expressible → rows-only)
+# ---------------------------------------------------------------------------
+
+_KG_N = 400
+_KG_CACHE: dict = {}
+
+
+def _kg_outputs(spark):
+    """Synthetic-corpus pipeline intermediates, cached per session (the
+    driver runs every query in one session; CC is iterative and worth
+    reusing)."""
+    key = (id(spark), _KG_N)
+    if key in _KG_CACHE:
+        return _KG_CACHE[key]
+
+    import pandas as pd
+
+    from ..operators import canonicalize, extract
+    from ..sources import synthetic, vocab as vocab_mod
+
+    ingest = synthetic.synthesize_ingest(spark, _KG_N, partitions=8)
+    vdfs = vocab_mod.vocab_dataframes(spark)
+    parsed, _ = extract.split_violations(extract.parse_sites(ingest))
+    sites = extract.normalize_sites(parsed, vdfs).persist()
+    edges = synthetic.synthesize_system_edges(spark, _KG_N, partitions=8)
+    curated = spark.createDataFrame(
+        pd.DataFrame(synthetic.synthesize_curated_edges(_KG_N))
+    )
+    membership = canonicalize.build_membership(sites, edges, curated).persist()
+    membership.count()
+    _KG_CACHE[key] = (ingest, vdfs, sites, membership)
+    return _KG_CACHE[key]
+
+
+def kg_dedup_sites(spark, sf_dir):
+    """Flagship: full extract→link→canonicalize→merge on the deterministic
+    synthetic corpus; returns the merged dedup sites."""
+    from ..operators import dedup
+
+    _, _, sites, membership = _kg_outputs(spark)
+    merged = dedup.merge_dedup_sites(
+        sites.drop("dedup_site_id").join(membership, "site_id")
+    )
+    return merged.select(
+        "dedup_site_id",
+        F.col("name.value").alias("name"),
+        F.col("name.refid").alias("name_ref"),
+        "top1_deposit_type",
+        F.size("ranked_sites").alias("n_sites"),
+        "modified_at",
+    ).orderBy("dedup_site_id")
+
+
+def kg_triples(spark, sf_dir):
+    """Triple extraction over the synthetic corpus: counts per predicate."""
+    from ..operators import extract
+    from ..sources import synthetic
+
+    ingest = synthetic.synthesize_ingest(spark, _KG_N, partitions=8)
+    t = extract.extract_triples(ingest)
+    return (
+        t.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred")
+    )
+
+
+def kg_grade_tonnage(spark, sf_dir):
+    """Grade-tonnage views over the synthetic corpus."""
+    from ..operators import extract, grade_tonnage
+    from ..sources import vocab as vocab_mod
+
+    _, vdfs, sites, _ = _kg_outputs(spark)
+    inv = extract.explode_inventories(sites, vdfs)
+    return (
+        grade_tonnage.grade_tonnage_view(inv)
+        .select(
+            "site_id",
+            "commodity",
+            F.round("contained_metal", 6).alias("contained_metal"),
+            F.round("tonnage", 6).alias("tonnage"),
+            F.round("grade", 6).alias("grade"),
+        )
+        .orderBy("site_id", "commodity")
+    )
+
+
+def kg_entity_linking(spark, sf_dir):
+    """Vocabulary linking of unlinked deposit-type mentions (L1-L2)."""
+    from ..operators import linking
+    from ..sources import vocab as vocab_mod
+
+    _, vdfs, sites, _ = _kg_outputs(spark)
+    mentions = linking.unlinked_mentions(sites, "deposit_type")
+    docs = linking.vocab_docs(
+        vdfs["deposit_type"], name_col="deposit_type", alias_col=None
+    )
+    return (
+        linking.link_mentions(mentions, docs)
+        .select("mention_id", "entity_id", F.round("score", 6).alias("score"))
+        .orderBy("mention_id")
+    )
+
+
+def kg_sameas_triples(spark, sf_dir):
+    """owl:sameAs emission from the canonicalized membership."""
+    from ..operators import canonicalize
+
+    _, _, _, membership = _kg_outputs(spark)
+    return (
+        canonicalize.sameas_triples(
+            membership.select(
+                F.col("site_id").alias("node"),
+                F.col("dedup_site_id").alias("component"),
+            )
+        )
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "obj")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_supplier_volume": q5_supplier_volume,
+    "antijoin_customers_without_orders": antijoin_customers_without_orders,
+    "events_user_stats": events_user_stats,
+    "events_sessionized": events_sessionized,
+    "events_hourly_rollup": events_hourly_rollup,
+    "top_parts_by_size": top_parts_by_size,
+    "orders_running_total": orders_running_total,
+    "cc_customer_order_graph": cc_customer_order_graph,
+    "docs_exact_dups": docs_exact_dups,
+    "docs_minhash_lsh": docs_minhash_lsh,
+    "docs_simhash": docs_simhash,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_token_stats": docs_token_stats,
+    "docs_quality": docs_quality,
+    "docs_fingerprint": docs_fingerprint,
+    "emb_topk_cosine": emb_topk_cosine,
+    "emb_lsh_neardups": emb_lsh_neardups,
+    "emb_label_centroid_sim": emb_label_centroid_sim,
+    "kg_dedup_sites": kg_dedup_sites,
+    "kg_triples": kg_triples,
+    "kg_grade_tonnage": kg_grade_tonnage,
+    "kg_entity_linking": kg_entity_linking,
+    "kg_sameas_triples": kg_sameas_triples,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_supplier_volume": Q5_SQL,
+    "antijoin_customers_without_orders": ANTIJOIN_SQL,
+    "events_user_stats": EVENTS_STATS_SQL,
+    "events_sessionized": EVENTS_SESSION_SQL,
+    "events_hourly_rollup": EVENTS_HOURLY_SQL,
+    "top_parts_by_size": TOP_PARTS_SQL,
+    "orders_running_total": RUNNING_TOTAL_SQL,
+    "cc_customer_order_graph": CC_SQL,
+    "docs_exact_dups": DOCS_EXACT_SQL,
+    "docs_ngram_jaccard": DOCS_NGRAM_SQL,
+    "docs_token_stats": DOCS_TOKENS_SQL,
+    "emb_topk_cosine": EMB_TOPK_SQL,
+    "emb_label_centroid_sim": EMB_CENTROID_SQL,
+}

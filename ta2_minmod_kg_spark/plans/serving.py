@@ -1,0 +1,144 @@
+"""Read-API query surface (SURVEY §2.7 Q1-Q4).
+
+The reference serves these from Postgres via SQLAlchemy
+(`services/mineral_site.py:453-564`); here they are DataFrame programs over
+the pipeline's output tables — the same filters, pushed down to the
+parquet scan (check ``explain``: PushedFilters on commodity /
+top1_deposit_type / array columns pruned).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def find_dedup_sites(
+    dedup_sites: DataFrame,
+    dedup_invs: DataFrame,
+    commodity: Optional[str] = None,
+    deposit_type: Optional[str] = None,
+    country: Optional[str] = None,
+    state_or_province: Optional[str] = None,
+    has_grade_tonnage: Optional[bool] = None,
+    ids: Optional[Sequence[str]] = None,
+    limit: Optional[int] = None,
+    offset: int = 0,
+) -> DataFrame:
+    """Q1: filter dedup sites, attach their selected inventories.
+
+    Mirrors `services/mineral_site.py:453-564`: commodity filters via the
+    inventory view; country/state are array-contains; has_grade_tonnage is
+    contained_metal IS (NOT) NULL; pagination by deterministic order.
+    """
+    inv = dedup_invs
+    if commodity is not None:
+        inv = inv.filter(F.col("commodity") == commodity)
+    if has_grade_tonnage is True:
+        inv = inv.filter(F.col("contained_metal").isNotNull())
+    elif has_grade_tonnage is False:
+        inv = inv.filter(F.col("contained_metal").isNull())
+
+    df = dedup_sites
+    if deposit_type is not None:
+        df = df.filter(F.col("top1_deposit_type") == deposit_type)
+    if country is not None:
+        df = df.filter(F.array_contains(F.col("country.value"), country))
+    if state_or_province is not None:
+        df = df.filter(
+            F.array_contains(F.col("state_or_province.value"), state_or_province)
+        )
+    if ids is not None:
+        df = df.filter(F.col("dedup_site_id").isin(list(ids)))
+
+    if commodity is not None or has_grade_tonnage is not None:
+        df = df.join(
+            inv.select("dedup_site_id").distinct(), "dedup_site_id", "left_semi"
+        )
+
+    invs_agg = inv.groupBy("dedup_site_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("commodity", "contained_metal", "tonnage", "grade", "date")
+            )
+        ).alias("grade_tonnage")
+    )
+    out = df.join(invs_agg, "dedup_site_id", "left").orderBy("dedup_site_id")
+    if offset:
+        # keyset-style: deterministic order + window index (Spark has no
+        # OFFSET pushdown; at scale prefer keyset pagination on the id)
+        from pyspark.sql import Window
+
+        w = Window.orderBy("dedup_site_id")
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > offset)
+            .drop("_rn")
+        )
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def find_by_ids(sites_rel: DataFrame, site_ids: Sequence[str]) -> DataFrame:
+    """Q2 point lookups."""
+    return sites_rel.filter(F.col("site_id").isin(list(site_ids)))
+
+
+def export_csv_rows(
+    dedup_sites: DataFrame,
+    dedup_invs: DataFrame,
+    commodity_labels: DataFrame,
+) -> DataFrame:
+    """Q3: wide CSV export — one row per (dedup site, grade-tonnage),
+    label lookups via broadcast, tonnage Mt→tonnes ×1e6
+    (ref api/routers/dedup_mineral_site.py:135-257)."""
+    labels = F.broadcast(
+        commodity_labels.select(
+            F.col("minmod_id").alias("commodity"),
+            F.col("name").alias("commodity_label"),
+        )
+    )
+    return (
+        dedup_invs.join(labels, "commodity", "left")
+        .join(
+            dedup_sites.select(
+                "dedup_site_id",
+                F.col("name.value").alias("site_name"),
+                F.col("type.value").alias("site_type"),
+                F.col("rank.value").alias("site_rank"),
+                "top1_deposit_type",
+                F.col("coordinates.lat").alias("lat"),
+                F.col("coordinates.lon").alias("lon"),
+            ),
+            "dedup_site_id",
+        )
+        .select(
+            "dedup_site_id",
+            "site_name",
+            "site_type",
+            "site_rank",
+            "top1_deposit_type",
+            "lat",
+            "lon",
+            "commodity",
+            "commodity_label",
+            (F.col("tonnage") * 1e6).alias("total_tonnage_tonnes"),
+            "grade",
+            (F.col("contained_metal") * 1e6).alias("total_contained_metal_tonnes"),
+        )
+    )
+
+
+def describe_resource(triples: DataFrame, subj: str, hops: int = 1) -> DataFrame:
+    """Q4 LOD dereference: the subject's subgraph, expanded ``hops`` times
+    along object links (bounded iterative filter-join)."""
+    frontier = triples.filter(F.col("subj") == subj)
+    out = frontier
+    for _ in range(hops):
+        objs = frontier.select(F.col("obj").alias("subj")).distinct()
+        frontier = triples.join(objs, "subj", "left_semi")
+        out = out.unionByName(frontier).distinct()
+    return out.select("subj", "pred", "obj")

@@ -24,14 +24,15 @@ def _cc_oracle(edges):
     }
 
 
-def _spark_cc(spark, edges):
+def _spark_cc(spark, edges, threshold=2_000_000):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["u", "v"]))
-    out = connected_components(df).toPandas()
+    out = connected_components(df, driver_finish_threshold=threshold).toPandas()
     assert not out["node"].duplicated().any()
     return dict(zip(out["node"], out["component"]))
 
 
-def test_cc_random_graph(spark):
+@pytest.mark.parametrize("threshold", [0, 2_000_000])
+def test_cc_random_graph(spark, threshold):
     import random
 
     rnd = random.Random(42)
@@ -40,21 +41,24 @@ def test_cc_random_graph(spark):
         (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(150)
     ]
     edges = [(u, v) for u, v in edges if u != v]
-    assert _spark_cc(spark, edges) == _cc_oracle(edges)
+    assert _spark_cc(spark, edges, threshold) == _cc_oracle(edges)
 
 
-def test_cc_deep_chain(spark):
+@pytest.mark.parametrize("threshold", [0, 2_000_000])
+def test_cc_deep_chain(spark, threshold):
     # a 400-node chain: naive label propagation would need 400 rounds;
-    # large/small-star must converge within the max_iter budget
+    # large/small-star (threshold=0 forces the distributed path) must
+    # converge within the max_iter budget
     edges = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(400)]
-    got = _spark_cc(spark, edges)
+    got = _spark_cc(spark, edges, threshold)
     assert set(got.values()) == {"c0000"}
     assert len(got) == 401
 
 
-def test_cc_star_and_singleton_selfloop(spark):
+@pytest.mark.parametrize("threshold", [0, 2_000_000])
+def test_cc_star_and_singleton_selfloop(spark, threshold):
     edges = [("a", "b"), ("a", "c"), ("a", "d"), ("z", "z")]
-    got = _spark_cc(spark, edges)
+    got = _spark_cc(spark, edges, threshold)
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
 
 

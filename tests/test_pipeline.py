@@ -1,0 +1,147 @@
+"""Pipeline end-to-end: run, per-bucket lineage, kill-and-resume, sinks,
+triple diff, serving queries."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ta2_minmod_kg_spark.plans.pipeline import KGPipeline, with_bucket
+from ta2_minmod_kg_spark.sources import synthetic, vocab
+
+N = 100
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("kgwd"))
+    ingest = synthetic.synthesize_ingest(spark, N, partitions=4)
+    vdfs = vocab.vocab_dataframes(spark)
+    edges = synthetic.synthesize_system_edges(spark, N, partitions=4)
+    curated = spark.createDataFrame(
+        pd.DataFrame(synthetic.synthesize_curated_edges(N))
+    )
+    pipe = KGPipeline(spark, wd, n_buckets=8)
+    out = pipe.run(ingest, vdfs, edges, curated)
+    return wd, pipe, out, (ingest, vdfs, edges, curated)
+
+
+def test_outputs_and_lineage(pipeline_out):
+    wd, pipe, out, _ = pipeline_out
+    assert out["sites_rel"].count() > N
+    assert out["triples"].count() > 20 * N
+    assert out["dedup_sites"].count() == out["membership"].select(
+        "dedup_site_id"
+    ).distinct().count()
+    # per-bucket lineage recorded with hashes + metrics
+    meta = json.load(open(os.path.join(wd, "_LINEAGE_sites_rel.json")))
+    assert meta["n_buckets"] >= 1
+    assert all("content_hash" in r and "n_rows" in r for r in meta["per_bucket"])
+    assert meta["wall_ms"] > 0
+    assert os.path.exists(os.path.join(wd, "metrics.json"))
+
+
+def test_sha256_invariant(pipeline_out, spark):
+    """Per-row invariant: sha256(content) survives into sites_rel."""
+    import hashlib
+
+    wd, pipe, out, (ingest, *_ ) = pipeline_out
+    raw = ingest.select("content").toPandas()["content"]
+    expect = sorted(hashlib.sha256(c.encode()).hexdigest() for c in raw)
+    got = sorted(out["sites_rel"].select("content_sha256").toPandas()["content_sha256"])
+    assert got == expect
+
+
+def test_resume_skips_completed_stages(pipeline_out, spark):
+    wd, _, _, (ingest, vdfs, edges, curated) = pipeline_out
+    pipe2 = KGPipeline(spark, wd, n_buckets=8)
+    out2 = pipe2.run(ingest, vdfs, edges, curated)
+    assert all(m["skipped"] for m in pipe2.metrics.values()), pipe2.metrics
+    assert out2["triples"].count() > 0
+
+
+def test_changed_buckets(pipeline_out, spark):
+    from ta2_minmod_kg_spark.plans.pipeline import bucket_hashes
+
+    wd, pipe, out, (ingest, *_ ) = pipeline_out
+    b = with_bucket(ingest, 8)
+    pb = [r.asDict() for r in bucket_hashes(b).collect()]
+    assert pipe.lineage.changed_buckets("ingest", pb) == []
+    pb[0]["content_hash"] = "tampered"
+    assert pipe.lineage.changed_buckets("ingest", pb) == [pb[0]["bucket"]]
+
+
+def test_ttl_sink(pipeline_out, spark, tmp_path):
+    from ta2_minmod_kg_spark.sources.sinks import write_ttl
+
+    _, _, out, _ = pipeline_out
+    path = str(tmp_path / "ttl")
+    write_ttl(out["triples"].limit(100), path)
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert files
+    text = open(os.path.join(path, files[0])).read()
+    assert text.splitlines()[0].endswith(". ")
+    assert open(os.path.join(path, "_prefixes.ttl")).read().startswith("@prefix mr:")
+
+
+def test_triple_diff(pipeline_out, spark):
+    from ta2_minmod_kg_spark.streaming.events import triple_diff
+
+    _, _, out, _ = pipeline_out
+    t = out["triples"].select("subj", "pred", "obj")
+    changed = t.limit(5).withColumn("obj", F.lit('"edited"'))
+    new = t.exceptAll(t.limit(5)).unionAll(changed)
+    d = triple_diff(t, new)
+    assert d["delete"].count() == 5
+    assert d["insert"].count() == 5
+
+
+def test_serving_queries(pipeline_out, spark):
+    from ta2_minmod_kg_spark.plans import serving
+
+    _, _, out, _ = pipeline_out
+    vdfs = vocab.vocab_dataframes(spark)
+    ds, di = out["dedup_sites"], out["dedup_inventories"]
+
+    all_rows = serving.find_dedup_sites(ds, di)
+    assert all_rows.count() == ds.count()
+
+    some_commodity = di.filter(F.col("contained_metal").isNotNull()).first()
+    got = serving.find_dedup_sites(
+        ds, di, commodity=some_commodity["commodity"], has_grade_tonnage=True
+    )
+    assert 0 < got.count() <= ds.count()
+
+    page = serving.find_dedup_sites(ds, di, limit=5, offset=2).toPandas()
+    full = serving.find_dedup_sites(ds, di).toPandas()
+    assert list(page["dedup_site_id"]) == list(full["dedup_site_id"][2:7])
+
+    ids = [r["site_id"] for r in out["sites_rel"].select("site_id").head(3)]
+    assert serving.find_by_ids(out["sites_rel"], ids).count() == 3
+
+    csv_rows = serving.export_csv_rows(ds, di, vdfs["commodity"])
+    assert csv_rows.count() == di.count()
+    assert "total_tonnage_tonnes" in csv_rows.columns
+
+    subj = out["triples"].first()["subj"]
+    sub = serving.describe_resource(out["triples"], subj, hops=1)
+    assert sub.count() > 0
+
+
+def test_zz_resume_recomputes_on_input_change(pipeline_out, spark, tmp_path):
+    """Input change invalidates the fingerprint → stage recomputes.
+    Runs LAST, on a COPY of the workdir, so earlier tests' lazy parquet
+    readers keep their files."""
+    import shutil
+
+    wd, _, _, (_, vdfs, edges, curated) = pipeline_out
+    wd2 = str(tmp_path / "wd2")
+    shutil.copytree(wd, wd2)
+    ingest2 = synthetic.synthesize_ingest(spark, N + 10, partitions=4)
+    pipe3 = KGPipeline(spark, wd2, n_buckets=8)
+    pipe3.run(ingest2, vdfs, edges, curated)
+    assert not pipe3.metrics["sites_rel"]["skipped"]

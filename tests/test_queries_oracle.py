@@ -1,0 +1,75 @@
+"""Local replica of the driver's correctness harness: run every queries()
+entry at sf0.001 and compare row count + per-column values against the
+DuckDB oracle (order-insensitive)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: round(v, 6) if isinstance(v, float) else v
+            )
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLE_QUERIES = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_QUERIES))
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_vs_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    got = _normalize(q(spark, SF_DIR).toPandas())
+    want = _normalize(ddb.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        got.columns,
+        want.columns,
+    )
+    assert len(got) == len(want), (name, len(got), len(want))
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=1e-5, atol=1e-8
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = entrymod.queries()[name]
+    df = q(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
