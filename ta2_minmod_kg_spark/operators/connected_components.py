@@ -101,7 +101,7 @@ def _union_find_finish(e: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in e.toLocalIterator():
+    for row in e.collect():
         u, v = row["u"], row["v"]
         ru, rv = find(u), find(v)
         if ru != rv:
@@ -129,22 +129,16 @@ def connected_components(
     Self-loops and duplicates tolerated.  Isolated nodes (absent from
     ``edges``) are the caller's business (see canonicalize.attach_singletons).
     """
-    raw = edges.select(F.col("u").cast("string"), F.col("v").cast("string"))
-    all_nodes = (
-        _nbrs_both_dirs(raw)
-        .select(F.col("u").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    e = (
-        raw.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # materialize the input once; both node and edge views derive from it
+    raw = edges.select(
+        F.col("u").cast("string"), F.col("v").cast("string")
+    ).localCheckpoint(eager=True)
+    all_nodes = _nbrs_both_dirs(raw).select(F.col("u").alias("node")).distinct()
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
 
     prev_fp = None
     for it in range(max_iter):
-        n_edges, _ = prev_fp if prev_fp else _fingerprint(e)
+        n_edges = prev_fp[0] if prev_fp else e.count()
         if n_edges <= driver_finish_threshold:
             e = _union_find_finish(e)
             break

@@ -20,16 +20,18 @@ and `custom_types/site_and_score.py:27-61`):
   ``select_inventories`` (`dedup_mineral_site.py:316-383`);
 - ``modified_at`` = group max.
 
-Execution: one ``groupBy(dedup_site_id).applyInPandas`` for attributes and
-one for inventories.  Groups are normally tiny; the planted giant cluster
-is the skew case — AQE skew-split cannot split a single group, so the
-group kernel is O(group) with small constant (no quadratic work), and the
-attribute frame is column-pruned to the narrow merge inputs before the
-shuffle.
+Execution: JVM ``collect_list(struct(...))`` per dedup group (map-side
+partial aggregation, one shuffle), then ``mapInPandas`` — whole Arrow
+batches of groups per Python call.  Per-group ``applyInPandas`` would pay
+a pandas-DataFrame construction per group; groups are usually 1-5 sites,
+so that overhead dominates at corpus scale.  The giant planted cluster is
+the skew case: a single mega-group lands in one task, but the kernel is
+O(group) with small constants.
 """
 
 from __future__ import annotations
 
+import json
 from typing import Optional
 
 import pandas as pd
@@ -57,23 +59,30 @@ def with_site_score(sites: DataFrame) -> DataFrame:
     )
 
 
-def _rank_key(row) -> tuple:
+def _rank_key(row: dict) -> tuple:
     # total order mirroring SiteScore (desc sort): experts compare on
     # modified_at; systems on (source_id, record_id, modified_at)
-    if row.is_expert:
-        return (row.score, 1, "", "", row.modified_at, row.site_id)
-    return (row.score, 0, row.source_id, row.record_id, row.modified_at, row.site_id)
+    if row["is_expert"]:
+        return (row["score"], 1, "", "", row["modified_at"], row["site_id"])
+    return (
+        row["score"],
+        0,
+        row["source_id"],
+        row["record_id"],
+        row["modified_at"],
+        row["site_id"],
+    )
 
 
 def _ref(value, refid):
     return None if value is None else {"value": value, "refid": refid}
 
 
-def _first_non_null(ranked, getter):
+def _first_non_null(ranked: list[dict], getter):
     for row in ranked:
         v = getter(row)
         if v is not None:
-            return _ref(v, row.site_id)
+            return _ref(v, row["site_id"])
     return None
 
 
@@ -95,7 +104,6 @@ DEDUP_ATTRS_SCHEMA = (
 )
 
 _ATTR_INPUT_COLS = [
-    "dedup_site_id",
     "site_id",
     "source_id",
     "record_id",
@@ -117,8 +125,12 @@ _ATTR_INPUT_COLS = [
 ]
 
 
-def _merge_geology(ranked) -> Optional[dict]:
+def _merge_geology(ranked: list[dict]) -> Optional[dict]:
     """RefGeologyInfo.from_sites: first-non-null per sub-attribute."""
+
+    def geo(row):
+        return row.get("geology_info")
+
     out = {}
     for field in (
         "alteration",
@@ -128,10 +140,7 @@ def _merge_geology(ranked) -> Optional[dict]:
         "tectonic",
     ):
         r = _first_non_null(
-            ranked,
-            lambda row, f=field: (row.geology_info or {}).get(f)
-            if row.geology_info is not None
-            else None,
+            ranked, lambda row, f=field: (geo(row) or {}).get(f)
         )
         if r is not None:
             out[field] = r
@@ -140,11 +149,7 @@ def _merge_geology(ranked) -> Optional[dict]:
         for field in ("unit", "type"):
             r = _first_non_null(
                 ranked,
-                lambda row, rk=rock, f=field: (
-                    ((row.geology_info or {}).get(rk) or {}).get(f)
-                    if row.geology_info is not None
-                    else None
-                ),
+                lambda row, rk=rock, f=field: ((geo(row) or {}).get(rk) or {}).get(f),
             )
             if r is not None:
                 sub[field] = r
@@ -153,15 +158,15 @@ def _merge_geology(ranked) -> Optional[dict]:
     return out or None
 
 
-def _top5_deposit_types(ranked) -> list[dict]:
+def _top5_deposit_types(ranked: list[dict]) -> list[dict]:
     # ref dedup_mineral_site.py:460-493 — key = (confidence, site rank);
     # strictly-greater replaces, so the highest-ranked site wins ties.
     best: dict[str, tuple[tuple, dict]] = {}
     order: list[str] = []
     for rank_i, row in enumerate(ranked):
-        cands = row.deposit_type_candidates
+        cands = row.get("deposit_type_candidates")
         if cands is None:
-            cands = []
+            continue
         for dt in cands:
             uri = dt.get("normalized_uri")
             if uri is None:
@@ -177,70 +182,125 @@ def _top5_deposit_types(ranked) -> list[dict]:
                         "id": dt_id,
                         "source": dt.get("source"),
                         "confidence": conf,
-                        "refid": row.site_id,
+                        "refid": row["site_id"],
                     },
                 )
                 order.append(dt_id)
             elif key > cur[0]:
-                best[dt_id] = (key, {**cur[1], "source": dt.get("source"), "confidence": conf, "refid": row.site_id})
-    ranked_dts = sorted(
-        (best[d] for d in order), key=lambda kv: kv[0], reverse=True
-    )
+                best[dt_id] = (
+                    key,
+                    {
+                        **cur[1],
+                        "source": dt.get("source"),
+                        "confidence": conf,
+                        "refid": row["site_id"],
+                    },
+                )
+    ranked_dts = sorted((best[d] for d in order), key=lambda kv: kv[0], reverse=True)
     return [kv[1] for kv in ranked_dts[:5]]
 
 
-def _dedup_attrs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-    import json
-
-    ranked = sorted(
-        pdf.itertuples(index=False), key=_rank_key, reverse=True
-    )
-    dedup_id = ranked[0].dedup_site_id
+def merge_group(dedup_id: str, rows: list[dict]) -> dict:
+    """A3/A4 for one group (pure function over plain dicts)."""
+    ranked = sorted(rows, key=_rank_key, reverse=True)
 
     coordinates = None
     for row in ranked:
-        if row.lat is not None and row.lon is not None and pd.notna(row.lat) and pd.notna(row.lon):
-            coordinates = {"lat": row.lat, "lon": row.lon, "refid": row.site_id}
+        if row.get("lat") is not None and row.get("lon") is not None:
+            coordinates = {
+                "lat": row["lat"],
+                "lon": row["lon"],
+                "refid": row["site_id"],
+            }
             break
 
-    def list_attr(getter):
+    def list_attr(field):
         for row in ranked:
-            v = getter(row)
+            v = row.get(field)
             if v is not None and len(v) > 0:
-                return {"value": list(v), "refid": row.site_id}
-        return {"value": [], "refid": ranked[0].site_id}
+                return {"value": list(v), "refid": row["site_id"]}
+        return {"value": [], "refid": ranked[0]["site_id"]}
 
     geology = _merge_geology(ranked)
     dts = _top5_deposit_types(ranked)
-    rec = {
+    return {
         "dedup_site_id": dedup_id,
-        "name": _first_non_null(ranked, lambda r: r.name),
-        "type": _first_non_null(ranked, lambda r: r.type),
-        "rank": _first_non_null(ranked, lambda r: r.rank),
+        "name": _first_non_null(ranked, lambda r: r.get("name")),
+        "type": _first_non_null(ranked, lambda r: r.get("type")),
+        "rank": _first_non_null(ranked, lambda r: r.get("rank")),
         "top1_deposit_type": dts[0]["id"] if dts else None,
         "ranked_deposit_types": dts,
         "coordinates": coordinates,
-        "country": list_attr(lambda r: r.country),
-        "state_or_province": list_attr(lambda r: r.state_or_province),
-        "mineral_form": list_attr(lambda r: r.mineral_form),
+        "country": list_attr("country"),
+        "state_or_province": list_attr("state_or_province"),
+        "mineral_form": list_attr("mineral_form"),
         "geology_info": json.dumps(geology, sort_keys=True) if geology else None,
-        "discovered_year": _first_non_null(ranked, lambda r: r.discovered_year),
+        "discovered_year": _first_non_null(
+            ranked, lambda r: r.get("discovered_year")
+        ),
         "ranked_sites": [
-            {"site_id": r.site_id, "score": r.score, "is_expert": bool(r.is_expert)}
+            {
+                "site_id": r["site_id"],
+                "score": r["score"],
+                "is_expert": bool(r["is_expert"]),
+            }
             for r in ranked
         ],
-        "modified_at": max(r.modified_at for r in ranked),
+        "modified_at": max(r["modified_at"] for r in ranked),
     }
-    return pd.DataFrame([rec])
+
+
+_OUT_COLS = [
+    "dedup_site_id",
+    "name",
+    "type",
+    "rank",
+    "top1_deposit_type",
+    "ranked_deposit_types",
+    "coordinates",
+    "country",
+    "state_or_province",
+    "mineral_form",
+    "geology_info",
+    "discovered_year",
+    "ranked_sites",
+    "modified_at",
+]
+
+
+def _pdf_rows(pdf: pd.DataFrame) -> list[dict]:
+    rows = pdf.to_dict("records")
+    for r in rows:
+        for k, v in r.items():
+            if isinstance(v, float) and pd.isna(v):
+                r[k] = None
+    return rows
+
+
+def _dedup_attrs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Test-facing wrapper: one group as a pandas frame."""
+    rows = _pdf_rows(pdf)
+    return pd.DataFrame([merge_group(rows[0]["dedup_site_id"], rows)])
+
+
+def _merge_batch_fn(batches):
+    for pdf in batches:
+        out = [
+            merge_group(dedup_id, list(sites))
+            for dedup_id, sites in zip(pdf["dedup_site_id"], pdf["sites"])
+        ]
+        yield pd.DataFrame(out, columns=_OUT_COLS)
 
 
 def merge_dedup_sites(sites_with_dedup: DataFrame) -> DataFrame:
     """A3/A4: group-merge.  Input: SITE_REL columns + dedup_site_id.
-    Column-pruned before the shuffle; one applyInPandas stage."""
-    narrow = with_site_score(sites_with_dedup).select(*_ATTR_INPUT_COLS)
-    return narrow.groupBy("dedup_site_id").applyInPandas(
-        _dedup_attrs_fn, schema=DEDUP_ATTRS_SCHEMA
+    Column-pruned before the shuffle; JVM collect_list then one Arrow
+    batch kernel."""
+    narrow = with_site_score(sites_with_dedup)
+    grouped = narrow.groupBy("dedup_site_id").agg(
+        F.collect_list(F.struct(*_ATTR_INPUT_COLS)).alias("sites")
     )
+    return grouped.mapInPandas(_merge_batch_fn, schema=DEDUP_ATTRS_SCHEMA)
 
 
 # -- inventory selection (A5) --------------------------------------------------
@@ -250,76 +310,105 @@ DEDUP_INV_SCHEMA = (
     "contained_metal double, tonnage double, grade double, date string"
 )
 
+_INV_INPUT_COLS = [
+    "site_id",
+    "source_id",
+    "record_id",
+    "modified_at",
+    "score",
+    "is_expert",
+    "commodity",
+    "contained_metal",
+    "tonnage",
+    "grade",
+    "date",
+]
 
-def _select_inv_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Exact select_inventories semantics over one dedup group."""
-    dedup_id = pdf["dedup_site_id"].iloc[0]
-    # ranked site order first, then per-site inventory rows
-    site_rows: dict[str, list] = {}
+
+def select_inventories_group(dedup_id: str, rows: list[dict]) -> list[dict]:
+    """Exact select_inventories semantics over one dedup group
+    (ref dedup_mineral_site.py:316-383)."""
+    site_rows: dict[str, list[dict]] = {}
     site_keys: dict[str, tuple] = {}
-    for row in pdf.itertuples(index=False):
-        site_rows.setdefault(row.site_id, [])
-        site_keys[row.site_id] = _rank_key(row)
-        if row.commodity is not None:
-            site_rows[row.site_id].append(row)
+    for row in rows:
+        site_rows.setdefault(row["site_id"], [])
+        site_keys[row["site_id"]] = _rank_key(row)
+        if row.get("commodity") is not None:
+            site_rows[row["site_id"]].append(row)
     ranked_sites = sorted(site_keys, key=site_keys.get, reverse=True)
 
     comm2inv: dict[str, dict] = {}
     for site_id in ranked_sites:
-        is_user = bool(site_rows[site_id][0].is_expert) if site_rows[site_id] else False
         for inv in site_rows[site_id]:
-            is_from_user = bool(inv.is_expert)
-            cur = comm2inv.get(inv.commodity)
+            is_from_user = bool(inv["is_expert"])
+            cur = comm2inv.get(inv["commodity"])
             if cur is None:
-                comm2inv[inv.commodity] = {"inv": inv, "from_user": is_from_user}
+                comm2inv[inv["commodity"]] = {"inv": inv, "from_user": is_from_user}
                 continue
             if cur["from_user"] != is_from_user:
                 if is_from_user:
-                    comm2inv[inv.commodity] = {"inv": inv, "from_user": True}
+                    comm2inv[inv["commodity"]] = {"inv": inv, "from_user": True}
                 continue
             cmp_inv = cur["inv"]
-            if inv.contained_metal is not None and pd.notna(inv.contained_metal):
-                cm_cur = cmp_inv.contained_metal
-                cm_cur_null = cm_cur is None or pd.isna(cm_cur)
-                if cm_cur_null:
-                    comm2inv[inv.commodity] = {"inv": inv, "from_user": is_from_user}
+            if inv.get("contained_metal") is not None:
+                if cmp_inv.get("contained_metal") is None:
+                    comm2inv[inv["commodity"]] = {
+                        "inv": inv,
+                        "from_user": is_from_user,
+                    }
                     continue
-                if inv.date is not None and (
-                    cmp_inv.date is None or inv.date > cmp_inv.date
+                if inv.get("date") is not None and (
+                    cmp_inv.get("date") is None or inv["date"] > cmp_inv["date"]
                 ):
-                    comm2inv[inv.commodity] = {"inv": inv, "from_user": is_from_user}
+                    comm2inv[inv["commodity"]] = {
+                        "inv": inv,
+                        "from_user": is_from_user,
+                    }
                     continue
-                if inv.contained_metal > cm_cur:
-                    comm2inv[inv.commodity] = {"inv": inv, "from_user": is_from_user}
+                if inv["contained_metal"] > cmp_inv["contained_metal"]:
+                    comm2inv[inv["commodity"]] = {
+                        "inv": inv,
+                        "from_user": is_from_user,
+                    }
                     continue
-    out = [
+    return [
         {
             "dedup_site_id": dedup_id,
             "commodity": c,
-            "site_id": d["inv"].site_id,
-            "contained_metal": _nn(d["inv"].contained_metal),
-            "tonnage": _nn(d["inv"].tonnage),
-            "grade": _nn(d["inv"].grade),
-            "date": d["inv"].date,
+            "site_id": d["inv"]["site_id"],
+            "contained_metal": d["inv"].get("contained_metal"),
+            "tonnage": d["inv"].get("tonnage"),
+            "grade": d["inv"].get("grade"),
+            "date": d["inv"].get("date"),
         }
         for c, d in comm2inv.items()
     ]
-    return pd.DataFrame(
-        out,
-        columns=[
-            "dedup_site_id",
-            "commodity",
-            "site_id",
-            "contained_metal",
-            "tonnage",
-            "grade",
-            "date",
-        ],
-    )
 
 
-def _nn(v):
-    return None if v is None or pd.isna(v) else float(v)
+_INV_OUT_COLS = [
+    "dedup_site_id",
+    "commodity",
+    "site_id",
+    "contained_metal",
+    "tonnage",
+    "grade",
+    "date",
+]
+
+
+def _select_inv_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Test-facing wrapper: one group as a pandas frame."""
+    rows = _pdf_rows(pdf)
+    out = select_inventories_group(rows[0]["dedup_site_id"], rows)
+    return pd.DataFrame(out, columns=_INV_OUT_COLS)
+
+
+def _select_inv_batch_fn(batches):
+    for pdf in batches:
+        out = []
+        for dedup_id, rows in zip(pdf["dedup_site_id"], pdf["rows"]):
+            out.extend(select_inventories_group(dedup_id, list(rows)))
+        yield pd.DataFrame(out, columns=_INV_OUT_COLS)
 
 
 def select_dedup_inventories(
@@ -340,6 +429,7 @@ def select_dedup_inventories(
         "is_expert",
     )
     joined = ranked.join(inv_views, "site_id", "left")
-    return joined.groupBy("dedup_site_id").applyInPandas(
-        _select_inv_fn, schema=DEDUP_INV_SCHEMA
+    grouped = joined.groupBy("dedup_site_id").agg(
+        F.collect_list(F.struct(*_INV_INPUT_COLS)).alias("rows")
     )
+    return grouped.mapInPandas(_select_inv_batch_fn, schema=DEDUP_INV_SCHEMA)
