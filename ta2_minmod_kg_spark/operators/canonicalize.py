@@ -97,8 +97,13 @@ def curated_gold_groups(curated: DataFrame) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(rows or [], "node string, component string")
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"node": list(parent.keys()), "component": [find(x) for x in parent]},
+        dtype="object",
+    )
+    return spark.createDataFrame(pdf, schema="node string, component string")
 
 
 def splice_gold_groups(membership: DataFrame, gold: DataFrame) -> DataFrame:

@@ -111,8 +111,14 @@ def _union_find_finish(e: DataFrame) -> DataFrame:
         parent.setdefault(u, find(u))
         parent.setdefault(v, find(v))
 
-    rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(rows, "u string, v string")
+    import pandas as pd
+
+    # pandas → Arrow path: plain-list createDataFrame verifies types per
+    # row on the driver (~1 ms/row — seconds at 10^4 rows)
+    pdf = pd.DataFrame(
+        {"u": list(parent.keys()), "v": [find(x) for x in parent]}
+    )
+    return spark.createDataFrame(pdf, schema="u string, v string")
 
 
 def connected_components(

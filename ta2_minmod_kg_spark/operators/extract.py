@@ -166,12 +166,119 @@ def _norm_ids(entities_col: str):
     )
 
 
+from ..schemas import SITE_REL  # noqa: E402
+
+SITE_REL_COLS = [f.name for f in SITE_REL.fields]
+
+
+def _normalize_batch_fn(crs_names: dict, source_scores: dict):
+    """Single-parse normalization kernel (P2+P3 in one Arrow pass).
+
+    One ``json.loads`` per row builds every SITE_REL column.  The
+    column-expression formulation pays N partial JSON parses per row
+    (Catalyst inlines ``from_json`` into each projected field — 9 parses in
+    the measured plan, ~2 ms/row); this kernel is one parse (~0.2 ms/row).
+    The crs-name and source-score vocab lookups ride along as tiny
+    closure dicts — the reference's own broadcast-dict pattern
+    (`services/kgrel_entity.py:57-75`).
+    """
+    import math as _math
+    from datetime import datetime, timezone
+
+    def parse_ns(s: str) -> int:
+        if s.endswith("Z"):
+            s = s[:-1] + "+00:00"
+        # same float path as the reference (misc/utils.py:166-171)
+        return int(datetime.fromisoformat(s).timestamp() * 1e9)
+
+    def norm_ids(entities):
+        return [
+            e["normalized_uri"][len(MR_NS):]
+            if e["normalized_uri"].startswith(MR_NS)
+            else e["normalized_uri"]
+            for e in (entities or [])
+            if e.get("normalized_uri") is not None
+        ]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for repo, path, sha, content in zip(
+                pdf["repo"], pdf["path"], pdf["content_sha256"], pdf["content"]
+            ):
+                site = json.loads(content)
+                username = get_username(site["created_by"])
+                site_id = make_site_id(
+                    username, site["source_id"], str(site["record_id"])
+                )
+                loc = site.get("location_info") or {}
+                crs_uri = (loc.get("crs") or {}).get("normalized_uri")
+                crs_name = crs_names.get(crs_uri, "EPSG:4326" if crs_uri is None else None)
+                lat, lon = _wkt_centroid(loc.get("location"), crs_name)
+                rows.append(
+                    {
+                        "site_id": site_id,
+                        "dedup_site_id": None,
+                        "source_id": site["source_id"],
+                        "source_score": source_scores.get(site["source_id"]),
+                        "record_id": str(site["record_id"]),
+                        "name": site.get("name"),
+                        "aliases": site.get("aliases") or [],
+                        "rank": site.get("site_rank"),
+                        "type": site.get("site_type"),
+                        "location_wkt": loc.get("location"),
+                        "location_crs": loc.get("crs"),
+                        "lat": lat,
+                        "lon": lon,
+                        "country": norm_ids(loc.get("country")),
+                        "state_or_province": norm_ids(loc.get("state_or_province")),
+                        "deposit_type_candidates": site.get(
+                            "deposit_type_candidate"
+                        )
+                        or [],
+                        "inventories": site.get("mineral_inventory") or [],
+                        "reference": site.get("reference") or [],
+                        "mineral_form": site.get("mineral_form") or [],
+                        "geology_info": site.get("geology_info"),
+                        "discovered_year": site.get("discovered_year"),
+                        "created_by": site["created_by"],
+                        "modified_at": parse_ns(site["modified_at"]),
+                        "content_sha256": sha,
+                        "repo": repo,
+                        "path": path,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=SITE_REL_COLS)
+
+    return fn
+
+
 def normalize_sites(parsed: DataFrame, vocab: dict[str, DataFrame]) -> DataFrame:
-    """P2+P3: the relational site row (SITE_REL schema).
+    """P2+P3: the relational site row (SITE_REL schema) in ONE Arrow pass.
+
+    The crs and data-source vocabularies collapse to driver dicts (they
+    are broadcast-dim sized by definition) and ship in the task closure.
+    """
+    crs_names = {
+        MR_NS + r["minmod_id"]: r["name"] for r in vocab["crs"].collect()
+    }
+    source_scores = {
+        r["uri"]: (float(r["score"]) if r["score"] is not None else None)
+        for r in vocab["data_source"].collect()
+    }
+    base = with_lineage(parsed) if "content_sha256" not in parsed.columns else parsed
+    return base.select("repo", "path", "content_sha256", "content").mapInPandas(
+        _normalize_batch_fn(crs_names, source_scores), schema=SITE_REL
+    )
+
+
+def normalize_sites_colexpr(parsed: DataFrame, vocab: dict[str, DataFrame]) -> DataFrame:
+    """Column-expression formulation kept for reference/AB tests.
 
     Broadcast joins: data_source → source_score, crs → crs name.
     One Arrow UDF for site-id minting, one for centroids; everything else
-    whole-stage-codegen column exprs.
+    whole-stage-codegen column exprs.  NOTE: Catalyst inlines the
+    ``from_json`` into every projected field — use ``normalize_sites``.
     """
     src_scores = F.broadcast(
         vocab["data_source"].select(
