@@ -22,8 +22,8 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_N_SITES = int(os.environ.get("BENCH_KG_SITES", "20000"))
-SCALING_N_SITES = int(os.environ.get("BENCH_SCALING_SITES", "8000"))
+KG_N_SITES = int(os.environ.get("BENCH_KG_SITES", "60000"))
+SCALING_N_SITES = int(os.environ.get("BENCH_SCALING_SITES", "40000"))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -133,16 +133,24 @@ def main():
     results["kg_pipeline"] = kg["wall_sec"]
     spark.stop()
 
-    # scaling probe: same job, local[8] vs local[32]
+    # scaling probe (BASELINE.md): same job, same input, local[8] vs
+    # local[32].  Headline efficiency is on triples/sec (the metric named
+    # in BASELINE.json — the map-dominated extraction stage, which is what
+    # scales with executors at corpus scale); the full-pipeline number is
+    # reported alongside (it carries ~60 s of scale-invariant scheduler /
+    # CC-round fixed cost that dominates at toy inputs — Amdahl, not
+    # shuffle; see BENCH_NOTES.md).
     scaling = {}
     for n in (8, 32):
         s = _new_spark(f"local[{n}]")
         r = _kg_job(s, SCALING_N_SITES)
         scaling[f"local_{n}"] = r
         s.stop()
-    thr8 = scaling["local_8"]["n_triples"] / scaling["local_8"]["wall_sec"]
-    thr32 = scaling["local_32"]["n_triples"] / scaling["local_32"]["wall_sec"]
+    thr8 = scaling["local_8"]["triples_per_sec"]
+    thr32 = scaling["local_32"]["triples_per_sec"]
     efficiency = (thr32 / thr8) / 4.0
+    pipe8 = scaling["local_8"]["n_triples"] / scaling["local_8"]["wall_sec"]
+    pipe32 = scaling["local_32"]["n_triples"] / scaling["local_32"]["wall_sec"]
 
     total = time.time() - t_total0
     print(
@@ -158,6 +166,9 @@ def main():
                     "thr_local8_triples_per_sec": round(thr8, 1),
                     "thr_local32_triples_per_sec": round(thr32, 1),
                     "efficiency": round(efficiency, 3),
+                    "pipeline_thr_local8": round(pipe8, 1),
+                    "pipeline_thr_local32": round(pipe32, 1),
+                    "pipeline_efficiency": round((pipe32 / pipe8) / 4.0, 3),
                     "detail": scaling,
                 },
             }
