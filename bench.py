@@ -132,44 +132,13 @@ def _kg_job(spark, n_sites: int, steady: bool = False) -> dict:
     }
 
 
-def scaling_probe(cores: int, n_sites: int) -> None:
-    """Entry for the subprocess scaling runs: fresh JVM per parallelism
-    level (re-creating SparkContexts inside one JVM accumulates heap/thread
-    debris and skews the second run by >5x — measured)."""
-    s = _new_spark(f"local[{cores}]")
-    r = _kg_job(s, n_sites, steady=True)
-    s.stop()
-    print("SCALING_JSON " + json.dumps(r))
-
-
-def _run_probe(cores: int, n_sites: int) -> dict:
-    import subprocess
-
-    out = subprocess.run(
-        [sys.executable, __file__, "--scaling-probe", str(cores), str(n_sites)],
-        capture_output=True,
-        text=True,
-        check=True,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("SCALING_JSON "):
-            return json.loads(line[len("SCALING_JSON "):])
-    raise RuntimeError(f"no probe output for local[{cores}]:\n{out.stdout[-2000:]}")
-
-
-def main():
+def queries_phase() -> None:
+    """Subprocess: run the headline queries at local[CPUS]."""
     import __spark_entry__ as entrymod
-
-    if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-probe":
-        scaling_probe(int(sys.argv[2]), int(sys.argv[3]))
-        return
-
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    results: dict[str, float] = {}
 
     spark = _new_spark(f"local[{CPUS}]")
     qmap = entrymod.queries()
-    t_total0 = time.time()
+    results = {}
     for name in BENCH_QUERIES:
         if name not in qmap:
             continue
@@ -177,10 +146,56 @@ def main():
         df = qmap[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.time() - t0, 3)
-
-    kg = _kg_job(spark, KG_N_SITES)
-    results["kg_pipeline"] = kg["wall_sec"]
     spark.stop()
+    print("PHASE_JSON " + json.dumps(results))
+
+
+def kg_phase(cores: int, n_sites: int, steady: bool) -> None:
+    """Subprocess: the KG job in a fresh JVM.
+
+    Every measured phase gets its own process: a SparkSession that has run
+    other work (or merely lingers after .stop(); the py4j JVM lives until
+    the Python process exits) degrades subsequent in-process measurements
+    3-5x — measured on this box.
+    """
+    s = _new_spark(f"local[{cores}]")
+    r = _kg_job(s, n_sites, steady=steady)
+    s.stop()
+    print("PHASE_JSON " + json.dumps(r))
+
+
+def _run_phase(args: list[str]) -> dict:
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, *args],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("PHASE_JSON "):
+            return json.loads(line[len("PHASE_JSON "):])
+    raise RuntimeError(f"no phase output for {args}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == "--queries-phase":
+        queries_phase()
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-probe":
+        kg_phase(int(sys.argv[2]), int(sys.argv[3]), steady=True)
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--kg-phase":
+        kg_phase(int(sys.argv[2]), int(sys.argv[3]), steady=False)
+        return
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    t_total0 = time.time()
+
+    results = _run_phase(["--queries-phase"])
+    kg = _run_phase(["--kg-phase", str(CPUS), str(KG_N_SITES)])
+    results["kg_pipeline"] = kg["wall_sec"]
 
     # scaling probe (BASELINE.md): same job, same input, local[8] vs
     # local[32].  Headline efficiency is on triples/sec (the metric named
@@ -192,7 +207,9 @@ def main():
     n_lo, n_hi = SCALING_CORES
     scaling = {}
     for n in (n_lo, n_hi):
-        scaling[f"local_{n}"] = _run_probe(n, SCALING_N_SITES)
+        scaling[f"local_{n}"] = _run_phase(
+            ["--scaling-probe", str(n), str(SCALING_N_SITES)]
+        )
     lo, hi = scaling[f"local_{n_lo}"], scaling[f"local_{n_hi}"]
     ratio = n_hi / n_lo
     thr8 = lo["triples_per_sec"]
