@@ -192,7 +192,10 @@ def build_membership(
     membership = connected_components(edges)
     if curated is not None:
         gold = curated_gold_groups(curated)
-        membership = splice_gold_groups(membership, gold)
+        # barrier: attach_singletons scans the spliced membership twice
+        membership = splice_gold_groups(membership, gold).localCheckpoint(
+            eager=True
+        )
     membership = attach_singletons(membership, sites_rel)
     # CC labels, splice output, and singleton labels are all already the
     # min member — skip the extra relabel shuffle

@@ -166,4 +166,7 @@ def connected_components(
     missing = all_nodes.join(covered, "node", "left_anti").select(
         "node", F.col("node").alias("component")
     )
-    return membership.unionAll(missing)
+    # materialize: downstream set algebra (splice/attach) scans the
+    # membership several times — without a barrier each scan re-executes
+    # the whole CC lineage (measured 3-4x blowup)
+    return membership.unionAll(missing).localCheckpoint(eager=True)
