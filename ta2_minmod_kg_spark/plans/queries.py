@@ -271,6 +271,34 @@ FROM orders ORDER BY o_custkey, o_orderkey
 """
 
 
+def supplier_distinct_parts(spark, sf_dir):
+    """countDistinct per group (the reference's SPARQL count stats shape,
+    A9/A11: count(distinct …) grouped + label broadcast join)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SUPPLIER_DISTINCT_SQL = """
+SELECT n_name, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def events_hourly_rollup(spark, sf_dir):
     """Watermarked tumbling-window rollup (streaming/events.py operator,
     run on the batch table — identical plan modulo the state store)."""
@@ -707,6 +735,7 @@ QUERIES = {
     "events_user_stats": events_user_stats,
     "events_sessionized": events_sessionized,
     "events_hourly_rollup": events_hourly_rollup,
+    "supplier_distinct_parts": supplier_distinct_parts,
     "top_parts_by_size": top_parts_by_size,
     "orders_running_total": orders_running_total,
     "cc_customer_order_graph": cc_customer_order_graph,
@@ -735,6 +764,7 @@ ORACLE_SQL = {
     "events_user_stats": EVENTS_STATS_SQL,
     "events_sessionized": EVENTS_SESSION_SQL,
     "events_hourly_rollup": EVENTS_HOURLY_SQL,
+    "supplier_distinct_parts": SUPPLIER_DISTINCT_SQL,
     "top_parts_by_size": TOP_PARTS_SQL,
     "orders_running_total": RUNNING_TOTAL_SQL,
     "cc_customer_order_graph": CC_SQL,
