@@ -311,6 +311,25 @@ def triples_to_ttl(triples, header: bool = True) -> str:
     return "".join(parts)
 
 
+def precision_recall(
+    mine: list[tuple[str, str, str]],
+    oracle: list[tuple[str, str, str]],
+) -> dict:
+    """Triple-set P/R after nested-node canonicalization (the BASELINE.md
+    gate shape: P/R ≥ 0.95 against the reference's emitted set, with
+    uuid-minted nested subjects treated as blank nodes on both sides)."""
+    a = canonicalize_nested(mine)
+    b = canonicalize_nested(oracle)
+    inter = len(a & b)
+    return {
+        "precision": inter / len(a) if a else 1.0,
+        "recall": inter / len(b) if b else 1.0,
+        "mine": len(a),
+        "oracle": len(b),
+        "common": inter,
+    }
+
+
 def canonicalize_nested(
     triples: list[tuple[str, str, str]],
 ) -> set[tuple[str, str, str]]:

