@@ -351,11 +351,12 @@ def normalize_sites_colexpr(parsed: DataFrame, vocab: dict[str, DataFrame]) -> D
 # -- triple fan-out -----------------------------------------------------------
 
 
-def _triples_batch(include_extra: bool):
+def _triples_batch(include_extra: bool, carry_bucket: bool):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            subjs, preds, objs, sids = [], [], [], []
-            for content in pdf["content"]:
+            subjs, preds, objs, sids, buckets = [], [], [], [], []
+            bucket_col = pdf["bucket"] if carry_bucket else None
+            for i, content in enumerate(pdf["content"]):
                 site = json.loads(content)
                 site_id, triples = site_to_triples(site, include_extra=include_extra)
                 for s, p, o in triples:
@@ -363,18 +364,36 @@ def _triples_batch(include_extra: bool):
                     preds.append(p)
                     objs.append(o)
                     sids.append(site_id)
-            yield pd.DataFrame(
-                {"subj": subjs, "pred": preds, "obj": objs, "site_id": sids}
-            )
+                if carry_bucket:
+                    buckets.extend([int(bucket_col.iloc[i])] * len(triples))
+            out = {"subj": subjs, "pred": preds, "obj": objs, "site_id": sids}
+            if carry_bucket:
+                out["bucket"] = buckets
+            yield pd.DataFrame(out)
 
     return fn
 
 
 def extract_triples(ingest: DataFrame, include_extra: bool = False) -> DataFrame:
     """P9: one record → N (subj, pred, obj) rows.  Arrow-batched fan-out;
-    no shuffle (output stays partitioned like the scan)."""
-    return ingest.select("content").mapInPandas(
-        _triples_batch(include_extra), schema=TRIPLE
+    no shuffle (output stays partitioned like the scan).
+
+    When the input carries a ``bucket`` column it is propagated onto every
+    emitted triple — dirty ingest buckets then map 1:1 to dirty triple
+    partitions for the incremental-recompute path (plans/pipeline.py).
+    """
+    carry = "bucket" in ingest.columns
+    cols = ["content", "bucket"] if carry else ["content"]
+    if carry:
+        from pyspark.sql.types import IntegerType, StructType
+
+        schema = StructType(
+            TRIPLE.fields + [StructField("bucket", IntegerType())]
+        )
+    else:
+        schema = TRIPLE
+    return ingest.select(*cols).mapInPandas(
+        _triples_batch(include_extra, carry), schema=schema
     )
 
 

@@ -153,18 +153,59 @@ class KGPipeline:
         input_fingerprint: str | None,
         bucket_col: str | None = "bucket",
         partition_by: str | None = None,
+        changed_buckets: list[int] | None = None,
     ) -> DataFrame:
+        """Run, skip, or *incrementally* recompute a stage.
+
+        Incremental path (the Spark analog of the reference's per-file
+        sqlite memo): when the stage is bucket-partitioned, a previous run
+        exists, and the caller passes the ``changed_buckets`` diff of the
+        ingest lineage, only those buckets are rebuilt — ``build(buckets)``
+        receives the work list and the writer dynamically overwrites just
+        the dirty partitions.
+        """
         out_path = self.lineage.path(stage)
         if self.lineage.is_done(stage, input_fingerprint):
             meta = self.lineage.read_meta(stage)
             self.metrics[stage] = {"skipped": True, **{k: meta[k] for k in ("n_rows", "wall_ms")}}
             return self.spark.read.parquet(out_path)
+
+        old_meta = self.lineage.read_meta(stage)
+        incremental = (
+            partition_by == "bucket"
+            and changed_buckets is not None
+            and old_meta is not None
+            and old_meta.get("code_version") == CODE_VERSION
+            and os.path.exists(os.path.join(out_path, "_SUCCESS"))
+            and 0 < len(changed_buckets)
+        )
         t0 = time.time()
-        df = build()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
-        writer.parquet(out_path)
+        if incremental:
+            import inspect
+
+            df = (
+                build(changed_buckets)
+                if len(inspect.signature(build).parameters) > 0
+                else build().filter(F.col("bucket").isin(changed_buckets))
+            )
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(out_path)
+            )
+        else:
+            import inspect
+
+            df = (
+                build(None)
+                if len(inspect.signature(build).parameters) > 0
+                else build()
+            )
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(out_path)
         out = self.spark.read.parquet(out_path)
         if bucket_col and bucket_col in out.columns:
             pb = [r.asDict() for r in bucket_hashes(out, bucket_col).collect()]
@@ -176,6 +217,7 @@ class KGPipeline:
         self.lineage.record(stage, pb, wall_ms, input_fingerprint)
         self.metrics[stage] = {
             "skipped": False,
+            "incremental_buckets": len(changed_buckets) if incremental else None,
             "n_rows": sum(r["n_rows"] for r in pb),
             "wall_ms": wall_ms,
         }
@@ -195,20 +237,33 @@ class KGPipeline:
         ingest = with_bucket(ingest, self.n_buckets)
         ingest_pb = [r.asDict() for r in bucket_hashes(ingest).collect()]
         ingest_fp = self.lineage.fingerprint(ingest_pb)
+        # diff against the previous run BEFORE overwriting the ingest lineage
+        changed = self.lineage.changed_buckets("ingest", ingest_pb)
         self.lineage.record("ingest", ingest_pb, 0.0, None)
 
-        def build_sites():
-            parsed = extract.parse_sites(ingest)
+        def build_sites(buckets=None):
+            src = (
+                ingest.filter(F.col("bucket").isin(buckets))
+                if buckets is not None
+                else ingest
+            )
+            parsed = extract.parse_sites(src)
             ok, bad = extract.split_violations(parsed)
             bad.select("repo", "path", "commit", "content_sha256").write.mode(
                 "overwrite"
             ).parquet(os.path.join(self.workdir, "violations"))
             sites = extract.normalize_sites(ok, vocab)
             return sites.join(
-                ingest.select("repo", "path", "bucket"), ["repo", "path"], "left"
+                src.select("repo", "path", "bucket"), ["repo", "path"], "left"
             )
 
-        sites = self._run_stage("sites_rel", build_sites, ingest_fp)
+        sites = self._run_stage(
+            "sites_rel",
+            build_sites,
+            ingest_fp,
+            partition_by="bucket",
+            changed_buckets=changed,
+        )
 
         inv_views = self._run_stage(
             "inv_views",
@@ -243,14 +298,26 @@ class KGPipeline:
             bucket_col=None,
         )
 
+        def build_triples(buckets=None):
+            src = (
+                ingest.filter(F.col("bucket").isin(buckets))
+                if buckets is not None
+                else ingest
+            )
+            # triples are bucketed like their ingest rows, so a dirty
+            # ingest bucket maps 1:1 to a dirty triples partition
+            t = extract.extract_triples(
+                src.select("repo", "path", "bucket", "content"),
+                include_extra=self.include_extra,
+            )
+            return t
+
         triples = self._run_stage(
             "triples",
-            lambda: with_bucket_triples(
-                extract.extract_triples(ingest, include_extra=self.include_extra),
-                self.n_buckets,
-            ),
+            build_triples,
             ingest_fp,
             partition_by="bucket",
+            changed_buckets=changed,
         )
 
         sameas = self._run_stage(
@@ -277,12 +344,6 @@ class KGPipeline:
             "triples": triples,
             "sameas_triples": sameas,
         }
-
-
-def with_bucket_triples(triples: DataFrame, n_buckets: int) -> DataFrame:
-    return triples.withColumn(
-        "bucket", F.pmod(F.xxhash64("site_id"), F.lit(n_buckets)).cast("int")
-    )
 
 
 def main(argv=None):

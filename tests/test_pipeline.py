@@ -145,3 +145,39 @@ def test_zz_resume_recomputes_on_input_change(pipeline_out, spark, tmp_path):
     pipe3 = KGPipeline(spark, wd2, n_buckets=8)
     pipe3.run(ingest2, vdfs, edges, curated)
     assert not pipe3.metrics["sites_rel"]["skipped"]
+
+
+def test_zz2_incremental_changed_bucket_recompute(pipeline_out, spark, tmp_path):
+    """One modified ingest row → only its bucket recomputes in the
+    bucket-partitioned stages (dynamic partition overwrite), and the
+    outputs reflect the edit."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    wd, _, _, (ingest, vdfs, edges, curated) = pipeline_out
+    wd2 = str(tmp_path / "wd_inc")
+    shutil.copytree(wd, wd2)
+
+    target = ingest.select("path").first()["path"]
+    ingest2 = ingest.withColumn(
+        "content",
+        F.when(
+            F.col("path") == target,
+            F.regexp_replace("content", r'"name": "[^"]*"', '"name": "EDITED NAME"'),
+        ).otherwise(F.col("content")),
+    )
+    pipe = KGPipeline(spark, wd2, n_buckets=8)
+    out = pipe.run(ingest2, vdfs, edges, curated)
+    m = pipe.metrics["sites_rel"]
+    assert m["skipped"] is False and m["incremental_buckets"] == 1, m
+    assert pipe.metrics["triples"]["incremental_buckets"] == 1
+    # total row counts preserved; edit visible in the output table
+    assert out["sites_rel"].count() == ingest.count()
+    names = out["sites_rel"].filter(F.col("path") == target).select("name").collect()
+    assert names[0]["name"] == "EDITED NAME"
+    # triples regenerated for the edited record only, none lost
+    assert out["triples"].count() > 0
+    assert (
+        out["triples"].filter(F.col("obj") == '"EDITED NAME"').count() >= 1
+    )
