@@ -171,3 +171,123 @@ def embedding_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# -- IVF (inverted-file) ANN ----------------------------------------------------
+
+
+def _kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd iterations, Spark-side assignment.
+
+    Init = the k vectors with the smallest ``xxhash64(id)`` (a seedless
+    deterministic sample); each iteration assigns via a numpy-matmul Arrow
+    kernel and averages per cluster with a JVM aggregate.  Centroids stay
+    driver-side (k × dim floats — broadcast-sized by construction).
+    """
+    u = with_unit_vectors(corpus, vec_col)
+    init = (
+        u.withColumn("h", F.xxhash64(F.col(id_col)))
+        .orderBy("h")
+        .limit(k)
+        .select("unit_vec")
+        .collect()
+    )
+    centroids = np.array([r["unit_vec"] for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = _assign_clusters(u, centroids)
+        rows = (
+            assigned.select("cluster", F.posexplode("unit_vec").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums.setdefault(r["cluster"], np.zeros(centroids.shape[1]))[r["i"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        for c, vec in sums.items():
+            new[c] = vec / max(counts[c], 1)
+            norm = np.linalg.norm(new[c])
+            if norm > 0:
+                new[c] /= norm
+        centroids = new
+    return centroids
+
+
+def _assign_clusters(u: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """cluster = argmax cosine to centroid — numpy matmul per Arrow batch."""
+    import pandas as pd
+
+    C = centroids.T.copy()
+
+    def fn(batches):
+        for pdf in batches:
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["unit_vec"]])
+            cl = (M @ C).argmax(axis=1) if len(M) else np.array([], dtype=int)
+            out = pdf.copy()
+            out["cluster"] = cl.astype("int32")
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in u.schema.fields
+    )
+    return u.mapInPandas(fn, f"{fields}, cluster int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: partition the corpus into centroid cells, probe the
+    ``nprobe`` nearest cells per query, exact cosine re-rank inside.
+
+    The 100 TB shape: the corpus shuffles ONCE on cluster id (and would be
+    written bucketed-by-cluster for reuse); each query touches
+    nprobe/n_centroids of the data.  Recall is tunable via nprobe.
+    """
+    cents = _kmeans_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    cu = _assign_clusters(with_unit_vectors(corpus, vec_col), cents).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("cv"), "cluster"
+    )
+
+    qu = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("qv")
+    )
+    import pandas as pd
+
+    C = cents.T.copy()
+    nb = min(nprobe, len(cents))
+
+    def probe(batches):
+        for pdf in batches:
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            order = np.argsort(-(M @ C), axis=1)[:, :nb] if len(M) else np.zeros((0, nb), int)
+            out = pdf.loc[pdf.index.repeat(nb)].reset_index(drop=True)
+            out["cluster"] = order.reshape(-1).astype("int32")
+            yield out
+
+    q_probed = qu.mapInPandas(
+        probe, "query_id bigint, qv array<double>, cluster int"
+    )
+    scored = (
+        q_probed.join(cu, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _dot("qv", "cv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

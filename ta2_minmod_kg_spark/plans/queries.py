@@ -547,6 +547,20 @@ WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 
+def emb_ivf_topk(spark, sf_dir):
+    """IVF ANN (deterministic k-means cells + nprobe search) — rows-only
+    (approximate by design; recall vs brute force asserted in pytest)."""
+    from ..operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return (
+        ivf_topk(e, q, k=3, n_centroids=16, nprobe=4)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def emb_lsh_neardups(spark, sf_dir):
     """LSH-bucketed near-duplicate pairs (cosine ≥ 0.99) — rows-only."""
     from ..operators.similarity import embedding_near_duplicates
@@ -747,6 +761,7 @@ QUERIES = {
     "docs_quality": docs_quality,
     "docs_fingerprint": docs_fingerprint,
     "emb_topk_cosine": emb_topk_cosine,
+    "emb_ivf_topk": emb_ivf_topk,
     "emb_lsh_neardups": emb_lsh_neardups,
     "emb_label_centroid_sim": emb_label_centroid_sim,
     "kg_dedup_sites": kg_dedup_sites,

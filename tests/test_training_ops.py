@@ -172,3 +172,34 @@ def test_windowed_event_counts(spark):
     out = windowed_event_counts(e)
     assert out.count() > 0
     assert set(out.columns) == {"window_start", "event_type", "n", "sum_value"}
+
+
+def test_ivf_topk_recall(spark):
+    from ta2_minmod_kg_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    # 4 well-separated clusters of 25 vectors each
+    centers = rng.standard_normal((4, 12)) * 6
+    vecs = np.vstack([c + rng.standard_normal((25, 12)) for c in centers])
+    pdf = pd.DataFrame(
+        {"vec_id": range(100), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") % 10 == 0)
+
+    exact = brute_force_topk(df, q, k=5).toPandas()
+    approx = ivf_topk(df, q, k=5, n_centroids=8, nprobe=3).toPandas()
+
+    recall_hits, total = 0, 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recall_hits += len(e & a)
+        total += len(e)
+    assert recall_hits / total >= 0.9  # high recall on separated clusters
+    # determinism
+    approx2 = ivf_topk(df, q, k=5, n_centroids=8, nprobe=3).toPandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        approx2.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
