@@ -85,9 +85,7 @@ def _kg_job(spark, n_sites: int, steady: bool = False) -> dict:
     t_sites = time.time()
 
     edges = synthetic.synthesize_system_edges(spark, n_sites, partitions=n_parts)
-    curated = spark.createDataFrame(
-        pd.DataFrame(synthetic.synthesize_curated_edges(n_sites))
-    )
+    curated = synthetic.curated_edges_df(spark, n_sites)
     membership = canonicalize.build_membership(sites, edges, curated).persist()
     n_groups = membership.select("dedup_site_id").distinct().count()
     t_cc = time.time()

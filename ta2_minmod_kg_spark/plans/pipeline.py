@@ -364,11 +364,7 @@ def main(argv=None):
     ingest = synthetic.synthesize_ingest(spark, args.n_sites)
     vdfs = vocab_mod.vocab_dataframes(spark)
     edges = synthetic.synthesize_system_edges(spark, args.n_sites)
-    import pandas as pd
-
-    curated = spark.createDataFrame(
-        pd.DataFrame(synthetic.synthesize_curated_edges(args.n_sites))
-    )
+    curated = synthetic.curated_edges_df(spark, args.n_sites)
     pipe = KGPipeline(spark, args.workdir, n_buckets=args.n_buckets)
     out = pipe.run(ingest, vdfs, edges, curated)
     n_triples = out["triples"].count()

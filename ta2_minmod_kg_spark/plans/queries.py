@@ -213,7 +213,8 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_no
   FROM g
 )
 SELECT user_id, session_no, count(*) AS n_events,
@@ -524,7 +525,7 @@ def emb_topk_cosine(spark, sf_dir):
     out = brute_force_topk(e, q, k=3)
     return out.select(
         "query_id",
-        "rank",
+        F.col("rank").cast("long").alias("rank"),
         "neighbor_id",
         F.round("cosine", 6).alias("cosine"),
     ).orderBy("query_id", "rank")
@@ -533,7 +534,8 @@ def emb_topk_cosine(spark, sf_dir):
 EMB_TOPK_SQL = """
 WITH pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cosine
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
   FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
   WHERE q.vec_id < 20
 ), ranked AS (
@@ -633,8 +635,6 @@ def _kg_outputs(spark):
     if key in _KG_CACHE:
         return _KG_CACHE[key]
 
-    import pandas as pd
-
     from ..operators import canonicalize, extract
     from ..sources import synthetic, vocab as vocab_mod
 
@@ -643,9 +643,7 @@ def _kg_outputs(spark):
     parsed, _ = extract.split_violations(extract.parse_sites(ingest))
     sites = extract.normalize_sites(parsed, vdfs).persist()
     edges = synthetic.synthesize_system_edges(spark, _KG_N, partitions=8)
-    curated = spark.createDataFrame(
-        pd.DataFrame(synthetic.synthesize_curated_edges(_KG_N))
-    )
+    curated = synthetic.curated_edges_df(spark, _KG_N)
     membership = canonicalize.build_membership(sites, edges, curated).persist()
     membership.count()
     _KG_CACHE[key] = (ingest, vdfs, sites, membership)

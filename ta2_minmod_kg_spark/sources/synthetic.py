@@ -419,3 +419,15 @@ def synthesize_curated_edges(n_sites: int) -> list[dict]:
         {"ms_1": sid(5), "ms_2": sid(6), "time_ns": 1_800_000_000_000_000_000, "is_same": 0},
     ]
     return rows
+
+
+CURATED_EDGE_SCHEMA = "ms_1 string, ms_2 string, time_ns bigint, is_same bigint"
+
+
+def curated_edges_df(spark, n_sites: int):
+    """Curated edges as a DataFrame with an explicit schema (works in
+    sessions without Arrow pandas conversion)."""
+    return spark.createDataFrame(
+        pd.DataFrame(synthesize_curated_edges(n_sites)),
+        schema=CURATED_EDGE_SCHEMA,
+    )

@@ -215,12 +215,44 @@ def synthetic_vocab() -> dict[str, list[dict]]:
     }
 
 
+# Explicit DDL schemas for every vocabulary table. Schema inference over
+# all-None columns (commodity.parent, data_source.connection) fails with
+# CANNOT_DETERMINE_TYPE in sessions without Arrow-enabled pandas conversion —
+# driver-contract code must never depend on session config for correctness.
+VOCAB_SCHEMAS: dict[str, str] = {
+    "commodity": (
+        "minmod_id string, name string, aliases string, parent string, "
+        "is_critical_commodity bigint"
+    ),
+    "unit": "minmod_id string, name string, aliases string",
+    "country": (
+        "minmod_id string, name string, aliases string, iso3 string, iso2 string"
+    ),
+    "state_or_province": "minmod_id string, name string, country_name string",
+    "deposit_type": (
+        "minmod_id string, deposit_type string, deposit_environment string, "
+        "deposit_group string"
+    ),
+    "commodity_form": (
+        "minmod_id string, name string, formula string, commodity_id string, "
+        "conversion double"
+    ),
+    "crs": "minmod_id string, name string",
+    "data_source": (
+        "uri string, name string, type string, created_by string, "
+        "description string, score double, connection string"
+    ),
+    "category": "id string, label string",
+}
+
+
 def vocab_dataframes(spark: SparkSession) -> dict[str, DataFrame]:
-    """Vocabulary DataFrames (broadcast-sized dims)."""
+    """Vocabulary DataFrames (broadcast-sized dims), built with explicit
+    schemas so they work identically in any session (Arrow on or off)."""
     import pandas as pd
 
     return {
-        name: spark.createDataFrame(pd.DataFrame(rows))
+        name: spark.createDataFrame(pd.DataFrame(rows), schema=VOCAB_SCHEMAS[name])
         for name, rows in synthetic_vocab().items()
     }
 
