@@ -60,9 +60,17 @@ def curated_gold_groups(curated: DataFrame) -> DataFrame:
     ``curated``: (ms_1, ms_2, time_ns, is_same).  Expert-curated edge sets
     are small by construction (humans wrote them), so this is computed
     driver-side in one collect — saving ~10 distributed jobs versus the
-    full CC machinery.  Divergence note: on duplicate positive rows for a
-    pair the reference keeps the file-order last time_ns (networkx attr
-    overwrite); we keep the max — identical for append-only curation logs.
+    full CC machinery.
+
+    Override rule, matching `etl/same_as.py:303-307` exactly: a negative
+    edge removes the positive iff ``pos.time_ns >= neg.time_ns`` (the
+    reference `continue`s — keeps the edge — only when the positive is
+    strictly OLDER than the negative).  With several negatives for one
+    pair, removal happens if ANY of them satisfies that, i.e. iff
+    ``min(neg.time_ns) <= pos.time_ns``.  Divergence note: on duplicate
+    positive rows for a pair the reference keeps the file-order last
+    time_ns (networkx attr overwrite); we keep the max — identical for
+    append-only curation logs.
 
     Nodes of *cancelled* positive edges stay in the curated graph as
     singleton gold groups (networkx remove_edge keeps nodes) — this is
@@ -74,8 +82,11 @@ def curated_gold_groups(curated: DataFrame) -> DataFrame:
     neg: dict[tuple, int] = {}
     for row in curated.collect():
         key = tuple(sorted((row["ms_1"], row["ms_2"])))
-        d = pos if int(row["is_same"]) == 1 else neg
-        d[key] = max(d.get(key, 0), int(row["time_ns"]))
+        t = int(row["time_ns"])
+        if int(row["is_same"]) == 1:
+            pos[key] = max(pos.get(key, 0), t)
+        else:
+            neg[key] = min(neg.get(key, t), t)
 
     parent: dict[str, str] = {}
 
@@ -90,7 +101,7 @@ def curated_gold_groups(curated: DataFrame) -> DataFrame:
     for (a, b), t in pos.items():
         parent.setdefault(a, a)
         parent.setdefault(b, b)
-        if neg.get((a, b), -1) >= t:
+        if (a, b) in neg and neg[(a, b)] <= t:
             continue  # cancelled — nodes remain as singletons
         ra, rb = find(a), find(b)
         if ra != rb:

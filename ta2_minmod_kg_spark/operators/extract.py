@@ -351,13 +351,41 @@ def normalize_sites_colexpr(parsed: DataFrame, vocab: dict[str, DataFrame]) -> D
 # -- triple fan-out -----------------------------------------------------------
 
 
+_PATH_OK_RE = re.compile(r"^[a-zA-Z0-9_\-,./]+$")
+
+
+def _site_structurally_valid(site, path: str | None) -> bool:
+    """Python mirror of ``split_violations``' predicates — records routed to
+    the violations table must produce NO triples (and must never crash the
+    fan-out kernel at scale)."""
+    if not isinstance(site, dict):
+        return False
+    if site.get("source_id") is None or site.get("record_id") is None:
+        return False
+    if site.get("created_by") is None:
+        return False
+    if len(site.get("reference") or []) != 1:
+        return False
+    if path is not None and not _PATH_OK_RE.match(path):
+        return False
+    return True
+
+
 def _triples_batch(include_extra: bool, carry_bucket: bool):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             subjs, preds, objs, sids, buckets = [], [], [], [], []
             bucket_col = pdf["bucket"] if carry_bucket else None
+            path_col = pdf["path"] if "path" in pdf.columns else None
             for i, content in enumerate(pdf["content"]):
-                site = json.loads(content)
+                try:
+                    site = json.loads(content)
+                except (ValueError, TypeError):
+                    continue  # malformed document → violations table, no triples
+                if not _site_structurally_valid(
+                    site, str(path_col.iloc[i]) if path_col is not None else None
+                ):
+                    continue
                 site_id, triples = site_to_triples(site, include_extra=include_extra)
                 for s, p, o in triples:
                     subjs.append(s)
@@ -384,6 +412,8 @@ def extract_triples(ingest: DataFrame, include_extra: bool = False) -> DataFrame
     """
     carry = "bucket" in ingest.columns
     cols = ["content", "bucket"] if carry else ["content"]
+    if "path" in ingest.columns:
+        cols.append("path")  # enables the filename-charset validity rule
     if carry:
         from pyspark.sql.types import IntegerType, StructType
 
@@ -453,6 +483,7 @@ def explode_inventories(sites_rel: DataFrame, vocab: dict[str, DataFrame]) -> Da
     )
     return inv.select(
         "site_id",
+        "inv_pos",
         "commodity",
         "date",
         "zone",

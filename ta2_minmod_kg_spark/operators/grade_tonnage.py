@@ -283,6 +283,7 @@ GT_VIEW_SCHEMA = (
 # input columns expected by gt_apply_in_pandas (one row per inventory)
 GT_INPUT_COLS = [
     "site_id",
+    "inv_pos",
     "commodity",
     "date",
     "zone",
@@ -377,21 +378,30 @@ def grade_tonnage_view(inv_rows):
 
     One shuffle on (site_id, commodity) via a JVM ``collect_list``
     aggregate (map-side partials), then an Arrow batch kernel.
+
+    ``collect_list`` element order is NOT guaranteed after a shuffle, but
+    the model's best-estimate tie-break is order-sensitive (later-wins on
+    exact contained-metal ties, matching the reference's cmp_to_key quirk) —
+    so the collected structs lead with ``inv_pos`` and are ``array_sort``ed
+    back into the reference's document order before the kernel runs.
     """
     from pyspark.sql import functions as F
 
     grouped = inv_rows.groupBy("site_id", "commodity").agg(
-        F.collect_list(
-            F.struct(
-                "date",
-                "zone",
-                "category",
-                "material_form_conversion",
-                "ore_value",
-                "ore_unit",
-                "grade_value",
-                "grade_unit",
-                "valid_gt",
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "inv_pos",  # first struct field ⇒ array_sort = doc order
+                    "date",
+                    "zone",
+                    "category",
+                    "material_form_conversion",
+                    "ore_value",
+                    "ore_unit",
+                    "grade_value",
+                    "grade_unit",
+                    "valid_gt",
+                )
             )
         ).alias("invs")
     )

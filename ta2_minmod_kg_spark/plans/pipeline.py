@@ -37,8 +37,20 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CODE_VERSION = "v1"
+CODE_VERSION = "v2"
 N_BUCKETS_DEFAULT = 256
+
+
+def _clear_partitions(out_path: str, buckets: list[int]) -> None:
+    """Delete ``bucket=<b>`` partition directories ahead of a dynamic
+    partition overwrite, so dirty buckets that emit no rows don't leave
+    stale data behind."""
+    import shutil
+
+    for b in buckets:
+        p = os.path.join(out_path, f"bucket={b}")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -60,6 +72,7 @@ def bucket_hashes(df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
 class Lineage:
     workdir: str
     run_id: str = field(default_factory=lambda: f"run_{int(time.time() * 1000)}")
+    config: str = ""  # output-affecting pipeline config, folded into fingerprints
 
     def path(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
@@ -70,9 +83,11 @@ class Lineage:
     def fingerprint(self, per_bucket: list[dict]) -> str:
         import hashlib
 
-        payload = json.dumps(
-            sorted((r["bucket"], r["content_hash"]) for r in per_bucket)
-        ) + CODE_VERSION
+        payload = (
+            json.dumps(sorted((r["bucket"], r["content_hash"]) for r in per_bucket))
+            + CODE_VERSION
+            + self.config
+        )
         return hashlib.sha256(payload.encode()).hexdigest()
 
     def is_done(self, stage: str, input_fingerprint: str | None) -> bool:
@@ -113,16 +128,22 @@ class Lineage:
 
     def changed_buckets(self, stage: str, per_bucket: list[dict]) -> list[int]:
         """Buckets whose content hash differs from the recorded lineage —
-        the incremental-recompute work list."""
+        the incremental-recompute work list.  Includes buckets present in
+        the OLD lineage but absent from the new input (all their files were
+        deleted): their stale output partitions must be cleared, not just
+        left out of the dynamic overwrite."""
         meta = self.read_meta(stage)
         if meta is None:
             return [r["bucket"] for r in per_bucket]
         old = {r["bucket"]: r["content_hash"] for r in meta["per_bucket"]}
-        return [
+        new_keys = {r["bucket"] for r in per_bucket}
+        changed = [
             r["bucket"]
             for r in per_bucket
             if old.get(r["bucket"]) != r["content_hash"]
         ]
+        changed.extend(b for b in old if b not in new_keys)
+        return changed
 
 
 class KGPipeline:
@@ -140,7 +161,13 @@ class KGPipeline:
         self.workdir = workdir
         self.n_buckets = n_buckets
         self.include_extra = include_extra_triples
-        self.lineage = Lineage(workdir)
+        # output-affecting config participates in every stage fingerprint —
+        # re-running the same workdir with a different flag must recompute,
+        # not silently serve the previous configuration's outputs
+        self.lineage = Lineage(
+            workdir,
+            config=f"n_buckets={n_buckets};include_extra={include_extra_triples}",
+        )
         os.makedirs(workdir, exist_ok=True)
         self.metrics: dict[str, dict] = {}
 
@@ -188,6 +215,11 @@ class KGPipeline:
                 if len(inspect.signature(build).parameters) > 0
                 else build().filter(F.col("bucket").isin(changed_buckets))
             )
+            # dynamic overwrite only touches partitions the new DataFrame
+            # emits — a changed bucket that now produces ZERO rows (all its
+            # files deleted) would keep its stale partition. Clear every
+            # dirty partition first; the write rebuilds the non-empty ones.
+            _clear_partitions(out_path, changed_buckets)
             (
                 df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -249,9 +281,21 @@ class KGPipeline:
             )
             parsed = extract.parse_sites(src)
             ok, bad = extract.split_violations(parsed)
-            bad.select("repo", "path", "commit", "content_sha256").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(self.workdir, "violations"))
+            # violations are bucket-partitioned like every other per-record
+            # output: an incremental run rewrites only the dirty buckets'
+            # violation partitions instead of clobbering the whole table
+            vio_path = os.path.join(self.workdir, "violations")
+            vio = bad.select("repo", "path", "commit", "content_sha256", "bucket")
+            if buckets is None:
+                vio.write.mode("overwrite").partitionBy("bucket").parquet(vio_path)
+            else:
+                _clear_partitions(vio_path, buckets)
+                (
+                    vio.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket")
+                    .parquet(vio_path)
+                )
             sites = extract.normalize_sites(ok, vocab)
             return sites.join(
                 src.select("repo", "path", "bucket"), ["repo", "path"], "left"

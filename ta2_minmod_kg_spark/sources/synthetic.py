@@ -398,8 +398,11 @@ def synthesize_curated_edges(n_sites: int) -> list[dict]:
     """Curated expert edges (S4) — small by nature, driver-side.
 
     - merge the first sites of clusters 1 and 2 (gold positive),
-    - a positive edge between clusters 3 and 4 that a *newer* negative edge
-      cancels (G3 override rule),
+    - a positive edge between clusters 3 and 4 that an *older* negative edge
+      cancels (G3 override rule, same_as.py:303-307: removal iff
+      pos.time_ns >= neg.time_ns),
+    - a positive edge between clusters 7 and 8 with a *newer* negative that
+      does NOT cancel it (the reference keeps strictly-older positives),
     - a negative edge WITHOUT a matching positive — must be a no-op.
     """
     g = giant_size(n_sites)
@@ -415,8 +418,10 @@ def synthesize_curated_edges(n_sites: int) -> list[dict]:
     rows = [
         {"ms_1": sid(1), "ms_2": sid(2), "time_ns": 1_700_000_000_000_000_000, "is_same": 1},
         {"ms_1": sid(3), "ms_2": sid(4), "time_ns": 1_700_000_000_000_000_000, "is_same": 1},
-        {"ms_1": sid(3), "ms_2": sid(4), "time_ns": 1_800_000_000_000_000_000, "is_same": 0},
+        {"ms_1": sid(3), "ms_2": sid(4), "time_ns": 1_600_000_000_000_000_000, "is_same": 0},
         {"ms_1": sid(5), "ms_2": sid(6), "time_ns": 1_800_000_000_000_000_000, "is_same": 0},
+        {"ms_1": sid(7), "ms_2": sid(8), "time_ns": 1_700_000_000_000_000_000, "is_same": 1},
+        {"ms_1": sid(7), "ms_2": sid(8), "time_ns": 1_800_000_000_000_000_000, "is_same": 0},
     ]
     return rows
 

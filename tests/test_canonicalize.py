@@ -63,16 +63,19 @@ def test_cc_star_and_singleton_selfloop(spark, threshold):
 
 
 def test_curated_override(spark):
+    # Reference rule (same_as.py:303-307): the negative removes the positive
+    # iff pos.time_ns >= neg.time_ns — a strictly-newer negative does NOT
+    # cancel an older positive.
     rows = [
         # pos edge survives (no negative)
         {"ms_1": "s1", "ms_2": "s2", "time_ns": 100, "is_same": 1},
-        # newer negative cancels
+        # newer negative does NOT cancel (pos < neg → reference keeps edge)
         {"ms_1": "s3", "ms_2": "s4", "time_ns": 100, "is_same": 1},
         {"ms_1": "s4", "ms_2": "s3", "time_ns": 200, "is_same": 0},
-        # older negative does NOT cancel
+        # older negative cancels (pos >= neg → reference removes edge)
         {"ms_1": "s5", "ms_2": "s6", "time_ns": 300, "is_same": 1},
         {"ms_1": "s5", "ms_2": "s6", "time_ns": 250, "is_same": 0},
-        # equal timestamps → negative wins (neg >= pos)
+        # equal timestamps → negative wins (pos >= neg)
         {"ms_1": "s7", "ms_2": "s8", "time_ns": 300, "is_same": 1},
         {"ms_1": "s7", "ms_2": "s8", "time_ns": 300, "is_same": 0},
     ]
@@ -80,10 +83,10 @@ def test_curated_override(spark):
     gold = curated_gold_groups(df).toPandas()
     comp = dict(zip(gold["node"], gold["component"]))
     assert comp["s1"] == comp["s2"]
-    assert comp["s5"] == comp["s6"]
+    assert comp["s3"] == comp["s4"]
     # cancelled pairs stay as singleton gold groups (they must SPLIT
     # auto-groups later, not merely fail to merge)
-    assert comp["s3"] == "s3" and comp["s4"] == "s4"
+    assert comp["s5"] == "s5" and comp["s6"] == "s6"
     assert comp["s7"] == "s7" and comp["s8"] == "s8"
 
 
@@ -137,11 +140,15 @@ def _membership_oracle(n_sites: int):
     neg_edges = {}
     for row in synthetic.synthesize_curated_edges(n_sites):
         key = tuple(sorted((row["ms_1"], row["ms_2"])))
-        d = pos_edges if row["is_same"] == 1 else neg_edges
-        d[key] = max(d.get(key, 0), row["time_ns"])
+        t = row["time_ns"]
+        if row["is_same"] == 1:
+            pos_edges[key] = max(pos_edges.get(key, 0), t)
+        else:
+            neg_edges[key] = min(neg_edges.get(key, t), t)
     for key, t in pos_edges.items():
         cg.add_nodes_from(key)  # cancelled-edge nodes stay as singletons
-        if neg_edges.get(key, -1) >= t:
+        # reference rule: removed iff pos >= neg
+        if key in neg_edges and neg_edges[key] <= t:
             continue
         cg.add_edge(*key)
     gold_groups = [set(c) for c in nx.connected_components(cg)]

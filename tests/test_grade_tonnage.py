@@ -176,3 +176,42 @@ def test_zero_grade():
     assert total_grade_pct((100.0, 0.0)) == 0.0
     assert total_grade_pct((0.0, 0.0)) == 0.0
     assert total_grade_pct(None) is None
+
+
+def test_view_doc_order_tiebreak(spark):
+    """collect_list order is shuffle-dependent; the view must sort collected
+    inventories back into document order (inv_pos) so the reference's
+    later-wins tie-break (cmp_to_key quirk) is deterministic."""
+    import pandas as pd
+
+    from ta2_minmod_kg_spark.operators.grade_tonnage import (
+        MR,
+        grade_tonnage_view,
+    )
+
+    def row(pos, ore, grade):
+        return {
+            "site_id": "s1",
+            "inv_pos": pos,
+            "commodity": "Q1000",
+            "date": None,
+            "zone": None,
+            "category": [MR + "Inferred"],
+            "material_form_conversion": None,
+            "ore_value": ore,
+            "ore_unit": MR + "Q202",
+            "grade_value": grade,
+            "grade_unit": MR + "Q201",
+            "valid_gt": True,
+        }
+
+    # equal contained metal (0.1 Mt), different tonnage: doc-order-later
+    # (inv_pos=1, tonnage 10) must win regardless of physical row order
+    for order in ([0, 1], [1, 0]):
+        rows = [row(0, 20.0, 0.5), row(1, 10.0, 1.0)]
+        pdf = pd.DataFrame([rows[i] for i in order])
+        df = spark.createDataFrame(pdf).repartition(4)
+        out = grade_tonnage_view(df).toPandas()
+        assert len(out) == 1
+        assert out["tonnage"].iloc[0] == 10.0
+        assert out["contained_metal"].iloc[0] == 0.1

@@ -181,3 +181,86 @@ def test_zz2_incremental_changed_bucket_recompute(pipeline_out, spark, tmp_path)
     assert (
         out["triples"].filter(F.col("obj") == '"EDITED NAME"').count() >= 1
     )
+
+
+def test_zz3_deleted_bucket_clears_stale_partition(pipeline_out, spark, tmp_path):
+    """Deleting every file of a bucket must clear its output partitions on
+    the incremental path — dynamic overwrite alone would leave them stale."""
+    import shutil
+
+    wd, _, _, (ingest, vdfs, edges, curated) = pipeline_out
+    wd2 = str(tmp_path / "wd_del")
+    shutil.copytree(wd, wd2)
+
+    b = with_bucket(ingest, 8)
+    victim = b.select("bucket").first()["bucket"]
+    ingest2 = b.filter(F.col("bucket") != victim).drop("bucket")
+
+    pipe = KGPipeline(spark, wd2, n_buckets=8)
+    out = pipe.run(ingest2, vdfs, edges, curated)
+    assert pipe.metrics["sites_rel"]["skipped"] is False
+    # stale rows gone from both bucket-partitioned outputs
+    assert out["sites_rel"].filter(F.col("bucket") == victim).count() == 0
+    assert out["triples"].filter(F.col("bucket") == victim).count() == 0
+    assert out["sites_rel"].count() > 0
+    # read-back from disk agrees (not just the returned handle)
+    disk = spark.read.parquet(os.path.join(wd2, "sites_rel"))
+    assert disk.filter(F.col("bucket") == victim).count() == 0
+
+
+def test_zz4_violations_survive_incremental_runs(spark, tmp_path):
+    """Violations are bucket-partitioned: an incremental run over changed
+    buckets must not clobber other buckets' violation rows."""
+    wd = str(tmp_path / "wd_vio")
+    base = synthetic.synthesize_ingest(spark, 60, partitions=4)
+    vdfs = vocab.vocab_dataframes(spark)
+
+    def bad_row(path):
+        return ("minmod-data", path, "c0", "json", '{"foo": 1}')
+
+    # two malformed docs landing in different buckets
+    paths = [f"data/bad_{i}.json" for i in range(20)]
+    extra = spark.createDataFrame(
+        [bad_row(p) for p in paths],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ingest1 = base.unionByName(extra)
+    pipe1 = KGPipeline(spark, wd, n_buckets=8)
+    pipe1.run(ingest1, vdfs)
+    vio1 = spark.read.parquet(os.path.join(wd, "violations"))
+    buckets_with_vio = {
+        r["bucket"] for r in vio1.select("bucket").distinct().collect()
+    }
+    assert len(buckets_with_vio) >= 2, "fixture needs violations in ≥2 buckets"
+    assert vio1.count() == len(paths)
+
+    # edit ONE good row (single changed bucket, no new violations there)
+    target = base.select("path").first()["path"]
+    ingest2 = ingest1.withColumn(
+        "content",
+        F.when(
+            F.col("path") == target,
+            F.regexp_replace("content", r'"name": "[^"]*"', '"name": "EDITED"'),
+        ).otherwise(F.col("content")),
+    )
+    pipe2 = KGPipeline(spark, wd, n_buckets=8)
+    pipe2.run(ingest2, vdfs)
+    assert pipe2.metrics["sites_rel"]["incremental_buckets"] is not None
+    vio2 = spark.read.parquet(os.path.join(wd, "violations"))
+    assert vio2.count() == len(paths), "unchanged buckets' violations were lost"
+
+
+def test_zz5_config_change_invalidates_fingerprint(spark, tmp_path):
+    """Re-running the same workdir with different output-affecting config
+    must recompute, not serve the previous configuration's outputs."""
+    wd = str(tmp_path / "wd_cfg")
+    ingest = synthetic.synthesize_ingest(spark, 40, partitions=4)
+    vdfs = vocab.vocab_dataframes(spark)
+
+    pipe1 = KGPipeline(spark, wd, n_buckets=8, include_extra_triples=False)
+    pipe1.run(ingest, vdfs)
+    pipe2 = KGPipeline(spark, wd, n_buckets=8, include_extra_triples=True)
+    pipe2.run(ingest, vdfs)
+    assert not pipe2.metrics["triples"]["skipped"], (
+        "include_extra_triples change must invalidate the triples stage"
+    )
