@@ -201,15 +201,11 @@ def site_to_triples(
     if site.get("site_type") is not None:
         out.append((subj, "mo:site_type", lit_str(site["site_type"])))
     if site.get("modified_at") is not None:
-        # roundtrip through nanoseconds exactly like the reference
-        # (kgrel modified_at int64 → format_nanoseconds on export)
-        out.append(
-            (
-                subj,
-                "mo:modified_at",
-                lit_str(format_nanoseconds(parse_modified_at_ns(site["modified_at"]))),
-            )
-        )
+        # the stored string verbatim — MineralSite.modified_at is a plain
+        # str dataprop (models/kg/mineral_site.py:93-95), so to_triples
+        # emits it unchanged; only the kgrel export path (from_kgrel →
+        # to_kg) roundtrips through int64 ns and re-formats with .%f
+        out.append((subj, "mo:modified_at", lit_str(site["modified_at"])))
 
     loc = site.get("location_info")
     if loc is not None:
@@ -351,9 +347,16 @@ def canonicalize_nested(
     def label(node: str, depth: int = 0) -> str:
         if node in roots or not node.startswith("mr:") or depth > 6:
             return node
+        # signature over the SET of outgoing pairs (bisimulation): the
+        # reference's to_triples mints a fresh uuid node per object
+        # instance and re-emits shared children per parent, while our
+        # deterministic ids merge identical-content nodes — duplicate
+        # (pred, obj) edges must not distinguish structurally equal nodes
         sig = sorted(
-            (p, label(o, depth + 1) if o in outgoing else o)
-            for p, o in outgoing[node]
+            {
+                (p, label(o, depth + 1) if o in outgoing else o)
+                for p, o in outgoing[node]
+            }
         )
         return "_:" + str(hash(tuple(sig)))
 

@@ -1,0 +1,202 @@
+"""Triple P/R against the REFERENCE'S OWN ``to_triples`` (executed in-process).
+
+This replaces the round-1 self-golden snapshot as the hard gate: the oracle
+triples come from ``minmodkg.models.kg.mineral_site.MineralSite.from_dict(raw)
+.to_triples()`` (rdf_model.py:214-266) running on the reference's fixture
+corpus, with only import-placebo shims for its unavailable dependencies
+(see tests/refshim.py — the schema machinery, id minting, and property
+emission are the reference's real code).
+
+Also: byte-parity of make_site_id / get_username / slugify against the
+shimmed ``minmodkg.transformations``, and grade-tonnage model parity
+against the reference's ``GradeTonnageModel``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from refshim import load_reference  # noqa: E402
+
+from ta2_minmod_kg_spark.functions.ids import (  # noqa: E402
+    get_username,
+    make_site_id,
+    slugify,
+)
+from ta2_minmod_kg_spark.functions.rdf import (  # noqa: E402
+    precision_recall,
+    site_to_triples,
+)
+
+FIXTURE_DIR = Path("/root/reference/tests/resources/kgdata/mineral-sites/json")
+
+pytestmark = pytest.mark.skipif(
+    not FIXTURE_DIR.exists(), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+def _records():
+    recs = []
+    for f in sorted(FIXTURE_DIR.glob("*.json")):
+        recs.extend(json.load(open(f)))
+    for i, r in enumerate(recs):
+        r.setdefault("created_by", "https://minmod.isi.edu/users/s/inferlink")
+        r.setdefault("modified_at", "2024-11-14T00:00:00.000000Z")
+    return recs
+
+
+def test_triple_pr_vs_reference_executed(ref):
+    """BASELINE.md hard gate: P/R ≥ 0.95 vs the reference's emitted triple
+    set — computed against reference-EXECUTED output, not a snapshot."""
+    mine_all, oracle_all = [], []
+    per_site = []
+    for raw in _records():
+        _, mine = site_to_triples(raw, include_extra=True)
+        oracle = [
+            (s, p, o)
+            for s, p, o in ref.mineral_site.MineralSite.from_dict(raw).to_triples()
+        ]
+        pr = precision_recall(mine, oracle)
+        per_site.append((pr["precision"], pr["recall"]))
+        mine_all.extend(mine)
+        oracle_all.extend(oracle)
+
+    pr = precision_recall(mine_all, oracle_all)
+    # the BASELINE gate is ≥ 0.95; the engine currently achieves exact
+    # parity on the fixture corpus — assert it to catch any drift
+    assert pr["precision"] >= 0.95 and pr["recall"] >= 0.95, (pr, per_site)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, (pr, per_site)
+
+
+def test_make_site_id_byte_parity(ref):
+    cases = [
+        ("inferlink", "https://api.cdr.land/v1/docs/documents", "02a000a83e"),
+        ("admin", "https://mrdata.usgs.gov/mrds", "10014570"),
+        ("usr-1", "https://example.org/db?a=1&b=2", "rec/4 spaces & (chars)"),
+        ("s", "mining-report:Überschrift", "récord-№7"),
+    ]
+    for username, source_id, record_id in cases:
+        assert make_site_id(username, source_id, record_id) == (
+            ref.transformations.make_site_id(username, source_id, record_id)
+        ), (username, source_id, record_id)
+
+
+def test_get_username_parity(ref):
+    import importlib
+
+    ref_user = importlib.import_module("minmodkg.models.kgrel.user")
+    for uri in (
+        "https://minmod.isi.edu/users/s/inferlink",
+        "https://minmod.isi.edu/users/u/someone",
+        "https://minmod.isi.edu/users/a/admin",
+        "not-a-user-uri",
+    ):
+        assert get_username(uri) == ref_user.get_username(uri)
+
+
+def test_slugify_parity(ref):
+    import slugify as shim_slugify  # the refshim fake (python-slugify subset)
+
+    for s in ("Hello World", "UPPER_case-mix.ed", "a  b\tc", "éàüö", "x!!y"):
+        assert slugify(s) == shim_slugify.slugify(s), s
+
+
+def test_grade_tonnage_parity_vs_reference(ref):
+    """Reference GradeTonnageModel vs engine compute_grade_tonnage on a
+    spread of scenarios (categories × zones × dates × ties)."""
+    from ta2_minmod_kg_spark.operators.grade_tonnage import (
+        compute_grade_tonnage,
+        total_grade_pct,
+    )
+
+    MR = "https://minmod.isi.edu/resource/"
+    model = ref.grade_tonnage.GradeTonnageModel()
+
+    cases = [
+        [(("Inferred",), 100.0, 1.0, "2020-01", None)],
+        [
+            (("Inferred",), 100.0, 1.0, "2020-01", None),
+            (("Indicated",), 50.0, 2.0, "2020-01", None),
+        ],
+        [   # tie on contained metal — later document position wins
+            (("Inferred",), 20.0, 0.5, None, None),
+            (("Inferred",), 10.0, 1.0, None, None),
+        ],
+        [   # zones summed, then max(site-level, zone-sum)
+            (("Measured",), 10.0, 1.0, "2021-02", "zoneA"),
+            (("Measured",), 15.0, 1.0, "2021-02", "zoneB"),
+            (("Measured",), 20.0, 1.0, "2021-02", None),
+        ],
+        [   # reserves + cumulative extracted backfill
+            (("Proven",), 30.0, 2.0, "2022-03", None),
+            (("Extracted",), 5.0, 2.0, "2020-03", None),
+            (("Extracted",), 7.0, 2.0, "2021-03", None),
+        ],
+        [   # original resource beats resource+extracted when larger
+            (("Inferred", "Indicated"), 10.0, 1.0, "2019-01", None),
+            (("OriginalResource",), 1000.0, 1.0, "2019-01", None),
+        ],
+        [   # invalid category mix is dropped
+            (("Inferred", "Proven"), 10.0, 1.0, "2019-01", None),
+            (("Indicated",), 5.0, 1.0, "2019-01", None),
+        ],
+        [   # multiple dates: most recent wins
+            (("Inferred",), 100.0, 1.0, "2010-01", None),
+            (("Inferred",), 40.0, 1.0, "2015-06", None),
+        ],
+    ]
+
+    MI = ref.grade_tonnage.GradeTonnageModel.MineralInventory
+    for scenario in cases:
+        ref_invs = [
+            MI(
+                id=str(i),
+                date=date,
+                zone=zone,
+                category=[MR + c for c in cats],
+                material_form_conversion=None,
+                ore_value=ore,
+                ore_unit=MR + "Q202",
+                grade_value=grade,
+                grade_unit=MR + "Q201",
+            )
+            for i, (cats, ore, grade, date, zone) in enumerate(scenario)
+        ]
+        ref_out = model(ref_invs)
+
+        engine_invs = [
+            {
+                "date": date,
+                "zone": zone,
+                "category": [MR + c for c in cats],
+                "material_form_conversion": None,
+                "ore_value": ore,
+                "ore_unit": MR + "Q202",
+                "grade_value": grade,
+                "grade_unit": MR + "Q201",
+            }
+            for cats, ore, grade, date, zone in scenario
+        ]
+        got = compute_grade_tonnage(engine_invs)
+
+        if ref_out is None or ref_out.total_estimate is None:
+            assert got is None or got["total"] is None, (scenario, got)
+            continue
+        assert got is not None and got["total"] is not None, (scenario, ref_out)
+        rt = ref_out.total_estimate
+        assert got["total"][0] == pytest.approx(rt.tonnage), scenario
+        assert got["total"][1] == pytest.approx(rt.contained_metal), scenario
+        assert total_grade_pct(got["total"]) == pytest.approx(
+            rt.get_grade()
+        ), scenario
