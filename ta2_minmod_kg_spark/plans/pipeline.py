@@ -364,6 +364,31 @@ class KGPipeline:
             changed_buckets=changed,
         )
 
+        # entity-vocabulary triples (ref etl/kgrel_entity.py:105-126) —
+        # fingerprinted on the vocab tables' content, not the ingest
+        import hashlib
+
+        vh = hashlib.sha256(self.lineage.config.encode())
+        for name in sorted(vocab):
+            pb_v = [
+                r.asDict()
+                for r in bucket_hashes(
+                    vocab[name].withColumn("bucket", F.lit(0))
+                ).collect()
+            ]
+            vh.update(name.encode())
+            vh.update(self.lineage.fingerprint(pb_v).encode())
+        vocab_fp = vh.hexdigest()
+
+        from ..operators.entity_triples import entity_triples as entity_triples_op
+
+        entity_t = self._run_stage(
+            "entity_triples",
+            lambda: entity_triples_op(vocab),
+            vocab_fp,
+            bucket_col=None,
+        )
+
         sameas = self._run_stage(
             "sameas_triples",
             lambda: canonicalize.sameas_triples(
@@ -386,6 +411,7 @@ class KGPipeline:
             "dedup_sites": dedup_sites,
             "dedup_inventories": dedup_invs,
             "triples": triples,
+            "entity_triples": entity_t,
             "sameas_triples": sameas,
         }
 

@@ -720,6 +720,20 @@ def kg_entity_linking(spark, sf_dir):
     )
 
 
+def kg_entity_triples(spark, sf_dir):
+    """Entity-vocabulary triple emission (per-predicate counts; parity vs
+    the reference's executed emitters asserted in tests/test_entity_triples.py)."""
+    from ..operators.entity_triples import entity_triples
+    from ..sources import vocab as vocab_mod
+
+    t = entity_triples(vocab_mod.vocab_dataframes(spark))
+    return (
+        t.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred")
+    )
+
+
 def kg_sameas_triples(spark, sf_dir):
     """owl:sameAs emission from the canonicalized membership."""
     from ..operators import canonicalize
@@ -766,6 +780,7 @@ QUERIES = {
     "kg_triples": kg_triples,
     "kg_grade_tonnage": kg_grade_tonnage,
     "kg_entity_linking": kg_entity_linking,
+    "kg_entity_triples": kg_entity_triples,
     "kg_sameas_triples": kg_sameas_triples,
 }
 
