@@ -106,12 +106,26 @@ except Exception:
     _HAVE_SHAPELY = False
 
 
+_WGS84_R = 6378137.0  # spherical web-mercator radius (EPSG:3857)
+
+
+def _merc_inverse(x: float, y: float) -> tuple[float, float]:
+    """EPSG:3857 → EPSG:4326, pure math (spherical mercator inverse —
+    the same transform pyproj applies for 3857; ref misc/geo.py:67-96
+    routes through pyproj.Transformer)."""
+    lon = math.degrees(x / _WGS84_R)
+    lat = math.degrees(math.atan(math.sinh(y / _WGS84_R)))
+    return lat, lon
+
+
 def _wkt_centroid(wkt: str | None, crs_name: str | None) -> tuple[float | None, float | None]:
     """Centroid in EPSG:4326 (ref kgrel/custom_types/location.py:115-150).
 
-    POINT is handled natively; richer geometries use shapely when
-    available.  Non-4326 CRS without pyproj → unknown (None, None) — the
-    reference raises there; we degrade because the vocab pins EPSG:4326.
+    POINT is handled natively; EPSG:3857 points are reprojected inline
+    (pure math, no pyproj needed); richer geometries use shapely when
+    available.  CRS outside {4326, 3857} → (None, None) here, AND the
+    record is surfaced in the vocab_violations table by
+    operators/validation.py:location_crs_violations — never a silent drop.
     """
     if wkt is None or "nan" in wkt.lower():
         return None, None
@@ -126,12 +140,16 @@ def _wkt_centroid(wkt: str | None, crs_name: str | None) -> tuple[float | None, 
             return None, None
         if crs == "EPSG:4326":
             return y, x
+        if crs == "EPSG:3857":
+            return _merc_inverse(x, y)
         return None, None
     if _HAVE_SHAPELY:  # pragma: no cover
         try:
             c = _shapely_wkt.loads(wkt).centroid
             if crs == "EPSG:4326":
                 return c.y, c.x
+            if crs == "EPSG:3857":
+                return _merc_inverse(c.x, c.y)
         except Exception:
             return None, None
     return None, None

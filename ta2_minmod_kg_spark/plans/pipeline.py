@@ -279,23 +279,41 @@ class KGPipeline:
                 if buckets is not None
                 else ingest
             )
+            from ..operators.validation import (
+                location_crs_violations,
+                vocab_membership_violations,
+            )
+
             parsed = extract.parse_sites(src)
             ok, bad = extract.split_violations(parsed)
             # violations are bucket-partitioned like every other per-record
             # output: an incremental run rewrites only the dirty buckets'
             # violation partitions instead of clobbering the whole table
-            vio_path = os.path.join(self.workdir, "violations")
-            vio = bad.select("repo", "path", "commit", "content_sha256", "bucket")
-            if buckets is None:
-                vio.write.mode("overwrite").partitionBy("bucket").parquet(vio_path)
-            else:
-                _clear_partitions(vio_path, buckets)
-                (
-                    vio.write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("bucket")
-                    .parquet(vio_path)
-                )
+            def write_side(df, name):
+                p = os.path.join(self.workdir, name)
+                if buckets is None:
+                    df.write.mode("overwrite").partitionBy("bucket").parquet(p)
+                else:
+                    _clear_partitions(p, buckets)
+                    (
+                        df.write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("bucket")
+                        .parquet(p)
+                    )
+
+            write_side(
+                bad.select("repo", "path", "commit", "content_sha256", "bucket"),
+                "violations",
+            )
+            # P7: out-of-vocabulary normalized_uri rows (validators.py:354-419)
+            # + P3: locations with a CRS the engine cannot reproject
+            write_side(
+                vocab_membership_violations(ok, vocab).unionAll(
+                    location_crs_violations(ok, vocab)
+                ),
+                "vocab_violations",
+            )
             sites = extract.normalize_sites(ok, vocab)
             return sites.join(
                 src.select("repo", "path", "bucket"), ["repo", "path"], "left"
