@@ -234,7 +234,13 @@ def merge_group(dedup_id: str, rows: list[dict]) -> dict:
         "country": list_attr("country"),
         "state_or_province": list_attr("state_or_province"),
         "mineral_form": list_attr("mineral_form"),
-        "geology_info": json.dumps(geology, sort_keys=True) if geology else None,
+        # compact separators match Spark to_json byte-for-byte so the SQL
+        # mega-group path (_merge_big_groups_sql) is hash-identical
+        "geology_info": (
+            json.dumps(geology, sort_keys=True, separators=(",", ":"))
+            if geology
+            else None
+        ),
         "discovered_year": _first_non_null(
             ranked, lambda r: r.get("discovered_year")
         ),
@@ -292,15 +298,36 @@ def _merge_batch_fn(batches):
         yield pd.DataFrame(out, columns=_OUT_COLS)
 
 
-def merge_dedup_sites(sites_with_dedup: DataFrame) -> DataFrame:
+BIG_GROUP_THRESHOLD = 50_000
+
+
+def merge_dedup_sites(
+    sites_with_dedup: DataFrame, big_group_threshold: int = BIG_GROUP_THRESHOLD
+) -> DataFrame:
     """A3/A4: group-merge.  Input: SITE_REL columns + dedup_site_id.
-    Column-pruned before the shuffle; JVM collect_list then one Arrow
-    batch kernel."""
+
+    Skew-safe dispatch: group sizes are counted first (map-side partial
+    count, cheap), and groups at or above ``big_group_threshold`` are
+    routed to the pure-SQL aggregate path (``_merge_big_groups_sql`` —
+    Catalyst partial aggregation, never assembles the group on one task)
+    while normal groups take the collect_list + Arrow kernel path.  The
+    two paths are byte-equivalent (tests/test_dedup_wide.py).
+    """
     narrow = with_site_score(sites_with_dedup)
-    grouped = narrow.groupBy("dedup_site_id").agg(
+    big_ids = (
+        narrow.groupBy("dedup_site_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= big_group_threshold)
+        .select("dedup_site_id")
+    )
+    small = narrow.join(F.broadcast(big_ids), "dedup_site_id", "left_anti")
+    big = narrow.join(F.broadcast(big_ids), "dedup_site_id", "left_semi")
+
+    grouped = small.groupBy("dedup_site_id").agg(
         F.collect_list(F.struct(*_ATTR_INPUT_COLS)).alias("sites")
     )
-    return grouped.mapInPandas(_merge_batch_fn, schema=DEDUP_ATTRS_SCHEMA)
+    out_small = grouped.mapInPandas(_merge_batch_fn, schema=DEDUP_ATTRS_SCHEMA)
+    return out_small.unionByName(_merge_big_groups_sql(big))
 
 
 # -- inventory selection (A5) --------------------------------------------------
@@ -528,3 +555,244 @@ def merge_dedup_sites_wide(sites_with_dedup: DataFrame) -> DataFrame:
         .agg(F.max_by(F.col("dt_id"), F.col("best")).alias("top1_deposit_type"))
     )
     return agg.join(dts, "dedup_site_id", "left")
+
+
+# -- mega-group SQL merge (full DEDUP_ATTRS_SCHEMA, exact kernel parity) -------
+
+_GEO_SCALARS = (
+    "alteration",
+    "concentration_process",
+    "ore_control",
+    "structure",
+    "tectonic",
+)
+
+
+def _merge_big_groups_sql(narrow: DataFrame) -> DataFrame:
+    """A3/A4 for groups too large for a single collect_list task, as pure
+    Catalyst aggregates (map-side partials, no giant row assembly).
+
+    Byte-equivalent to ``merge_group``: every output field — including
+    geology JSON, the full ranked_sites list, and the ranked top-5 deposit
+    types with the kernel's exact tie-breaks — matches the Arrow path
+    (asserted over the whole corpus in tests/test_dedup_wide.py).
+    ranked_sites / deposit-type lists are collected as *narrow* structs
+    (3-4 scalar fields), so even a 10^6-member group aggregates to a few
+    tens of MB on the reducer, not the full wide rows.
+    """
+    from pyspark.sql import Window
+
+    key = _rank_key_col()
+    w = Window.partitionBy("dedup_site_id").orderBy(F.desc("rk"))
+    df = (
+        narrow.withColumn("rk", key)
+        .withColumn("rank_i", F.row_number().over(w) - 1)
+    )
+
+    def ref_first(col, cond=None):
+        """max_by rank → kernel's first-non-null over ranked order."""
+        c = col.isNotNull() if cond is None else (col.isNotNull() & cond)
+        return F.max_by(
+            F.when(c, F.struct(col.alias("value"), F.col("site_id").alias("refid"))),
+            F.when(c, F.col("rk")),
+        )
+
+    def geo_ref(col):
+        """geology RefValue with (refid, value) field order — matches the
+        kernel's json.dumps(sort_keys=True)."""
+        c = col.isNotNull()
+        return F.max_by(
+            F.when(c, F.struct(F.col("site_id").alias("refid"), col.alias("value"))),
+            F.when(c, F.col("rk")),
+        )
+
+    nonempty = lambda c: F.size(F.coalesce(c, F.array())) > 0
+    geo = F.col("geology_info")
+
+    agg = df.groupBy("dedup_site_id").agg(
+        ref_first(F.col("name")).alias("name"),
+        ref_first(F.col("type")).alias("type"),
+        ref_first(F.col("rank")).alias("rank"),
+        ref_first(F.col("discovered_year")).alias("discovered_year"),
+        F.max_by(
+            F.when(
+                F.col("lat").isNotNull() & F.col("lon").isNotNull(),
+                F.struct("lat", "lon", F.col("site_id").alias("refid")),
+            ),
+            F.when(F.col("lat").isNotNull() & F.col("lon").isNotNull(), F.col("rk")),
+        ).alias("coordinates"),
+        ref_first(F.col("country"), nonempty(F.col("country"))).alias("country"),
+        ref_first(
+            F.col("state_or_province"), nonempty(F.col("state_or_province"))
+        ).alias("state_or_province"),
+        ref_first(F.col("mineral_form"), nonempty(F.col("mineral_form"))).alias(
+            "mineral_form"
+        ),
+        *[geo_ref(geo[f]).alias(f"g_{f}") for f in _GEO_SCALARS],
+        *[
+            geo_ref(geo[rock][sub]).alias(f"g_{rock}_{sub}")
+            for rock in ("host_rock", "associated_rock")
+            for sub in ("type", "unit")
+        ],
+        F.max_by(F.col("site_id"), F.col("rk")).alias("_top_site"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("rank_i", "site_id", "score", "is_expert")
+            )
+        ).alias("_ranked_raw"),
+        F.max("modified_at").alias("modified_at"),
+    )
+
+    def rock_struct(rock):
+        t, u = F.col(f"g_{rock}_type"), F.col(f"g_{rock}_unit")
+        return F.when(
+            t.isNotNull() | u.isNotNull(),
+            F.struct(t.alias("type"), u.alias("unit")),
+        )
+
+    # alphabetical field order == json.dumps(sort_keys=True); Spark to_json
+    # drops null fields, yielding the kernel's sparse object byte-for-byte
+    geo_obj = F.struct(
+        F.col("g_alteration").alias("alteration"),
+        rock_struct("associated_rock").alias("associated_rock"),
+        F.col("g_concentration_process").alias("concentration_process"),
+        rock_struct("host_rock").alias("host_rock"),
+        F.col("g_ore_control").alias("ore_control"),
+        F.col("g_structure").alias("structure"),
+        F.col("g_tectonic").alias("tectonic"),
+    )
+    any_geo = (
+        F.col("g_alteration").isNotNull()
+        | F.col("g_concentration_process").isNotNull()
+        | F.col("g_ore_control").isNotNull()
+        | F.col("g_structure").isNotNull()
+        | F.col("g_tectonic").isNotNull()
+        | rock_struct("host_rock").isNotNull()
+        | rock_struct("associated_rock").isNotNull()
+    )
+
+    def empty_list_ref(col):
+        return F.coalesce(
+            col,
+            F.struct(
+                F.array().cast("array<string>").alias("value"),
+                F.col("_top_site").alias("refid"),
+            ),
+        )
+
+    main = agg.select(
+        "dedup_site_id",
+        "name",
+        "type",
+        "rank",
+        empty_list_ref(F.col("country")).alias("country"),
+        empty_list_ref(F.col("state_or_province")).alias("state_or_province"),
+        empty_list_ref(F.col("mineral_form")).alias("mineral_form"),
+        "coordinates",
+        F.when(any_geo, F.to_json(geo_obj)).alias("geology_info"),
+        "discovered_year",
+        F.transform(
+            F.col("_ranked_raw"),
+            lambda x: F.struct(
+                x["site_id"].alias("site_id"),
+                x["score"].alias("score"),
+                x["is_expert"].alias("is_expert"),
+            ),
+        ).alias("ranked_sites"),
+        "modified_at",
+    )
+
+    # -- ranked deposit types (kernel's exact key + first-wins tie-breaks) ----
+    cands = (
+        df.select(
+            "dedup_site_id",
+            "site_id",
+            "rank_i",
+            F.posexplode_outer("deposit_type_candidates").alias("j", "dt"),
+        )
+        .filter(F.col("dt.normalized_uri").isNotNull())
+        .select(
+            "dedup_site_id",
+            "site_id",
+            "rank_i",
+            "j",
+            F.replace(F.col("dt.normalized_uri"), F.lit(MR_NS), F.lit("")).alias(
+                "dt_id"
+            ),
+            F.col("dt.confidence").alias("conf"),
+            F.col("dt.source").alias("source"),
+        )
+    )
+    per_dt = cands.groupBy("dedup_site_id", "dt_id").agg(
+        # winner: max (conf, -rank_i); strict-greater replaces, so among
+        # equal keys (same site, same conf) the smallest candidate index wins
+        F.max_by(
+            F.struct("source", F.col("conf").alias("confidence"), F.col("site_id").alias("refid")),
+            F.struct("conf", (-F.col("rank_i")).alias("nr"), (-F.col("j")).alias("nj")),
+        ).alias("best"),
+        F.max(F.struct("conf", (-F.col("rank_i")).alias("nr"))).alias("order_key"),
+        F.min(F.struct("rank_i", "j")).alias("first_seen"),
+    )
+    dts = per_dt.groupBy("dedup_site_id").agg(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            # ascending sort == kernel's (key desc, insertion order)
+                            (-F.col("order_key.conf")).alias("s0"),
+                            (-F.col("order_key.nr")).alias("s1"),
+                            F.col("first_seen.rank_i").alias("s2"),
+                            F.col("first_seen.j").alias("s3"),
+                            F.col("dt_id").alias("id"),
+                            F.col("best").alias("best"),
+                        )
+                    )
+                ),
+                lambda x: F.struct(
+                    x["id"].alias("id"),
+                    x["best"]["source"].alias("source"),
+                    x["best"]["confidence"].alias("confidence"),
+                    x["best"]["refid"].alias("refid"),
+                ),
+            ),
+            1,
+            5,
+        ).alias("ranked_deposit_types")
+    )
+
+    out = (
+        main.join(dts, "dedup_site_id", "left")
+        .withColumn(
+            "ranked_deposit_types",
+            F.coalesce(
+                F.col("ranked_deposit_types"),
+                F.array().cast(
+                    "array<struct<id:string,source:string,confidence:double,refid:string>>"
+                ),
+            ),
+        )
+        .withColumn(
+            "top1_deposit_type",
+            F.get(F.col("ranked_deposit_types"), 0)["id"],
+        )
+    )
+    # column order per DEDUP_ATTRS_SCHEMA
+    return out.select(
+        "dedup_site_id",
+        "name",
+        "type",
+        "rank",
+        "top1_deposit_type",
+        "ranked_deposit_types",
+        "coordinates",
+        "country",
+        "state_or_province",
+        "mineral_form",
+        "geology_info",
+        F.col("discovered_year").cast(
+            "struct<value:int,refid:string>"
+        ).alias("discovered_year"),
+        "ranked_sites",
+        "modified_at",
+    )

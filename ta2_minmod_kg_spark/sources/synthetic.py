@@ -246,6 +246,20 @@ def make_record(n: int, n_sites: int, expert: bool = False) -> dict:
             for i in range(n_dt)
         ]
 
+    # sparse geology (per-subfield dedup merge must pick across sites)
+    if _choice(n, 44, 5) < 2:
+        geo: dict = {}
+        if _choice(n, 45, 3) != 0:
+            geo["alteration"] = f"alteration-{_choice(n, 46, 6)}"
+        if _choice(n, 47, 3) != 0:
+            geo["tectonic"] = f"belt-{_choice(n, 48, 4)}"
+        if _choice(n, 49, 2) == 0:
+            geo["host_rock"] = {"type": f"rock-{_choice(n, 50, 5)}"}
+            if _choice(n, 51, 2) == 0:
+                geo["host_rock"]["unit"] = f"unit-{_choice(n, 52, 3)}"
+        if geo:
+            rec["geology_info"] = geo
+
     # the single site-level reference (validators require exactly 1)
     doc_kind = _choice(n, 20, 3)
     if doc_kind == 0:
