@@ -360,26 +360,46 @@ ORDER BY node
 
 def docs_exact_dups(spark, sf_dir):
     """Exact dedup via normalized-text grouping (SQL-checkable variant of
-    the xxhash fingerprint path)."""
-    d = _t(spark, sf_dir, "documents")
+    the xxhash fingerprint path).
+
+    The corpus at small SF contains no duplicates, which made this entry
+    vacuously green — so the query plants deterministic twins (every
+    doc_id % 97 == 0 re-enters with doc_id + 10^7 and a leading-whitespace
+    variation) in BOTH the Spark plan and the oracle SQL.  The operator's
+    output is therefore witnessed: the planted groups MUST come back."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("  "), F.col("text"), F.lit("\n")).alias("text"),
+        )
+    )
+    full = d.unionAll(twins)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return (
-        d.select(norm.alias("norm"), "doc_id")
+        full.select(norm.alias("norm"), "doc_id")
         .groupBy("norm")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
             F.min("doc_id").alias("keep_doc_id"),
         )
         .filter(F.col("n_dups") > 1)
-        .select("keep_doc_id", "n_dups")
+        .select("keep_doc_id", F.col("n_dups").cast("long").alias("n_dups"))
         .orderBy("keep_doc_id")
     )
 
 
 DOCS_EXACT_SQL = r"""
-SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
+WITH full_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, '  ' || text || chr(10) AS text
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_dups
 FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
-      FROM documents)
+      FROM full_docs)
 GROUP BY norm HAVING count(*) > 1
 ORDER BY keep_doc_id
 """
@@ -564,15 +584,51 @@ def emb_ivf_topk(spark, sf_dir):
 
 
 def emb_lsh_neardups(spark, sf_dir):
-    """LSH-bucketed near-duplicate pairs (cosine ≥ 0.99) — rows-only."""
+    """LSH-bucketed near-duplicate pairs (cosine ≥ 0.99).
+
+    The synthetic embeddings have no real near-dups (max off-diagonal
+    cosine ≈ 0.51), which made this entry a vacuous 0-row result — so the
+    query plants deterministic twins (every vec_id % 53 == 0 re-enters
+    with vec_id + 10^7 and +1e-6 on component 0) in BOTH the Spark plan
+    and the oracle SQL.  The oracle is the exact all-pairs scan over the
+    same planted table: the LSH path must achieve recall 1.0 on the
+    planted pairs for the hashes to match."""
     from ..operators.similarity import embedding_near_duplicates
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = e.filter(F.col("vec_id") % 53 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(1e-6)).otherwise(x),
+        ).alias("embedding"),
+    )
+    full = e.unionAll(twins)
     return (
-        embedding_near_duplicates(e, threshold=0.99)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        embedding_near_duplicates(full, threshold=0.99)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+EMB_LSH_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), planted AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_prepend(v[1] + 1e-6, v[2:]) AS v
+  FROM base WHERE vec_id % 53 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+ORDER BY id_a, id_b
+"""
 
 
 def emb_label_centroid_sim(spark, sf_dir):
@@ -800,5 +856,6 @@ ORACLE_SQL = {
     "docs_ngram_jaccard": DOCS_NGRAM_SQL,
     "docs_token_stats": DOCS_TOKENS_SQL,
     "emb_topk_cosine": EMB_TOPK_SQL,
+    "emb_lsh_neardups": EMB_LSH_SQL,
     "emb_label_centroid_sim": EMB_CENTROID_SQL,
 }
