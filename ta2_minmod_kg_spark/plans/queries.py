@@ -372,7 +372,7 @@ def docs_exact_dups(spark, sf_dir):
         d.filter(F.col("doc_id") % 97 == 0)
         .select(
             (F.col("doc_id") + 10_000_000).alias("doc_id"),
-            F.concat(F.lit("  "), F.col("text"), F.lit("\n")).alias("text"),
+            F.concat(F.lit("  "), F.col("text"), F.lit("  ")).alias("text"),
         )
     )
     full = d.unionAll(twins)
@@ -394,7 +394,7 @@ DOCS_EXACT_SQL = r"""
 WITH full_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, '  ' || text || chr(10) AS text
+  SELECT doc_id + 10000000 AS doc_id, '  ' || text || '  ' AS text
   FROM documents WHERE doc_id % 97 = 0
 )
 SELECT min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_dups
