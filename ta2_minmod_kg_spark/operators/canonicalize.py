@@ -78,9 +78,21 @@ def curated_gold_groups(curated: DataFrame) -> DataFrame:
     system edges still connect them.
     """
     spark = curated.sparkSession
+    comp = _gold_components(curated.collect())
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"node": list(comp.keys()), "component": list(comp.values())},
+        dtype="object",
+    )
+    return spark.createDataFrame(pdf, schema="node string, component string")
+
+
+def _gold_components(rows) -> dict[str, str]:
+    """Driver-side core of curated_gold_groups: rows → node→min-label map."""
     pos: dict[tuple, int] = {}
     neg: dict[tuple, int] = {}
-    for row in curated.collect():
+    for row in rows:
         key = tuple(sorted((row["ms_1"], row["ms_2"])))
         t = int(row["time_ns"])
         if int(row["is_same"]) == 1:
@@ -108,13 +120,7 @@ def curated_gold_groups(curated: DataFrame) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    import pandas as pd
-
-    pdf = pd.DataFrame(
-        {"node": list(parent.keys()), "component": [find(x) for x in parent]},
-        dtype="object",
-    )
-    return spark.createDataFrame(pdf, schema="node string, component string")
+    return {x: find(x) for x in parent}
 
 
 def splice_gold_groups(membership: DataFrame, gold: DataFrame) -> DataFrame:
@@ -189,18 +195,115 @@ def sameas_triples(membership: DataFrame) -> DataFrame:
     )
 
 
+def _driver_membership(
+    edge_pairs, curated_rows, site_ids
+) -> dict[str, str]:
+    """The full G1-G5 set algebra in driver memory — exact mirror of the
+    distributed path (CC → splice_gold_groups → attach_singletons →
+    relabel-min), used when both the edge set and the site-id list fit the
+    driver threshold.  Beats ~10 distributed shuffle jobs of fixed latency
+    at small inputs; never fires at production scale."""
+    # CC by union-find with min-label roots
+    parent: dict[str, str] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+        parent.setdefault(u, find(u))
+        parent.setdefault(v, find(v))
+    comp = {x: find(x) for x in parent}
+
+    # splice gold groups (replace_group semantics)
+    new_key: dict[str, tuple] = {}
+    if curated_rows is not None:
+        gold_comp = _gold_components(curated_rows)
+        affected = {comp[n] for n in gold_comp if n in comp}
+        for node, c in comp.items():
+            if c in affected:
+                if node in gold_comp:
+                    continue  # replaced by its gold group below
+                new_key[node] = ("rem", c)
+            else:
+                new_key[node] = ("auto", c)
+        for node, gc in gold_comp.items():
+            new_key[node] = ("gold", gc)
+    else:
+        new_key = {node: ("auto", c) for node, c in comp.items()}
+
+    # relabel to min member (over ALL nodes, like relabel_min, BEFORE the
+    # known-site restriction — matching the distributed operator order)
+    groups: dict[tuple, list[str]] = {}
+    for node, key in new_key.items():
+        groups.setdefault(key, []).append(node)
+    label = {key: min(nodes) for key, nodes in groups.items()}
+
+    sid_set = set(site_ids)
+    out = {
+        node: label[key] for node, key in new_key.items() if node in sid_set
+    }
+    for s in sid_set:
+        if s not in out:
+            out[s] = s  # singleton
+    return out
+
+
 def build_membership(
     sites_rel: DataFrame,
     system_edges: DataFrame | None = None,
     curated: DataFrame | None = None,
+    driver_finish_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Full G1-G5 flow → (site_id, dedup_site_id) for every site."""
+    """Full G1-G5 flow → (site_id, dedup_site_id) for every site.
+
+    Hybrid: when both the edge set and the site-id list fit
+    ``driver_finish_threshold``, the whole membership assembly runs
+    driver-side (one collect each); otherwise the distributed
+    CC/splice/attach operators run.  Both paths are oracle-tested against
+    the same networkx model (tests/test_canonicalize.py)."""
+    spark = sites_rel.sparkSession
     edges = auto_link_edges(sites_rel)
     if system_edges is not None:
         edges = edges.unionAll(
             system_edges.select(F.col("ms_1").alias("u"), F.col("ms_2").alias("v"))
         )
-    membership = connected_components(edges)
+    raw = edges.select(
+        F.col("u").cast("string"), F.col("v").cast("string")
+    ).localCheckpoint(eager=True)
+
+    if (
+        raw.count() <= driver_finish_threshold
+        and sites_rel.select("site_id").count() <= driver_finish_threshold
+    ):
+        site_ids = [r[0] for r in sites_rel.select("site_id").collect()]
+        pairs = [(r["u"], r["v"]) for r in raw.collect()]
+        rows = curated.collect() if curated is not None else None
+        member = _driver_membership(pairs, rows, site_ids)
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "site_id": list(member.keys()),
+                "dedup_site_id": ["dedup_" + c for c in member.values()],
+            },
+            dtype="object",
+        )
+        return spark.createDataFrame(
+            pdf, schema="site_id string, dedup_site_id string"
+        )
+
+    membership = connected_components(
+        raw, driver_finish_threshold=driver_finish_threshold
+    )
     if curated is not None:
         gold = curated_gold_groups(curated)
         # barrier: attach_singletons scans the spliced membership twice

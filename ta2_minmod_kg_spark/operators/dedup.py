@@ -314,14 +314,25 @@ def merge_dedup_sites(
     two paths are byte-equivalent (tests/test_dedup_wide.py).
     """
     narrow = with_site_score(sites_with_dedup)
-    big_ids = (
-        narrow.groupBy("dedup_site_id")
+    # group sizes from the pruned key column only — Catalyst reads just the
+    # join keys for this pass, and the oversize-id list is tiny by nature
+    big_rows = (
+        sites_with_dedup.select("dedup_site_id")
+        .groupBy("dedup_site_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= big_group_threshold)
-        .select("dedup_site_id")
+        .collect()
     )
-    small = narrow.join(F.broadcast(big_ids), "dedup_site_id", "left_anti")
-    big = narrow.join(F.broadcast(big_ids), "dedup_site_id", "left_semi")
+    if not big_rows:
+        # common case: no mega groups — single scan, pure kernel path
+        grouped = narrow.groupBy("dedup_site_id").agg(
+            F.collect_list(F.struct(*_ATTR_INPUT_COLS)).alias("sites")
+        )
+        return grouped.mapInPandas(_merge_batch_fn, schema=DEDUP_ATTRS_SCHEMA)
+
+    big_set = [r["dedup_site_id"] for r in big_rows]
+    small = narrow.filter(~F.col("dedup_site_id").isin(big_set))
+    big = narrow.filter(F.col("dedup_site_id").isin(big_set))
 
     grouped = small.groupBy("dedup_site_id").agg(
         F.collect_list(F.struct(*_ATTR_INPUT_COLS)).alias("sites")

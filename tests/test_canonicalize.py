@@ -173,7 +173,11 @@ def _membership_oracle(n_sites: int):
     return {s: "dedup_" + min(grp) for grp in final for s in grp}
 
 
-def test_build_membership_end_to_end(spark):
+@pytest.mark.parametrize("threshold", [0, 2_000_000])
+def test_build_membership_end_to_end(spark, threshold):
+    """threshold=0 forces the fully distributed CC/splice/attach path;
+    the default exercises the driver-side fast path — both must match the
+    same networkx oracle."""
     from ta2_minmod_kg_spark.operators import extract
     from ta2_minmod_kg_spark.sources import vocab
 
@@ -185,7 +189,9 @@ def test_build_membership_end_to_end(spark):
     curated = spark.createDataFrame(
         pd.DataFrame(synthetic.synthesize_curated_edges(N))
     )
-    got = build_membership(sites, system_edges, curated).toPandas()
+    got = build_membership(
+        sites, system_edges, curated, driver_finish_threshold=threshold
+    ).toPandas()
     got_map = dict(zip(got["site_id"], got["dedup_site_id"]))
     expect = _membership_oracle(N)
     assert got_map == expect

@@ -39,7 +39,7 @@ def test_curated_edges_no_arrow(vanilla):
     from ta2_minmod_kg_spark.sources.synthetic import curated_edges_df
 
     df = curated_edges_df(vanilla, 400)
-    assert df.count() == 4
+    assert df.count() == 6
     assert dict(df.dtypes) == {
         "ms_1": "string",
         "ms_2": "string",
