@@ -250,6 +250,8 @@ def _normalize_batch_fn(crs_names: dict, source_scores: dict):
                         "lon": lon,
                         "country": norm_ids(loc.get("country")),
                         "state_or_province": norm_ids(loc.get("state_or_province")),
+                        "country_candidates": loc.get("country") or [],
+                        "state_candidates": loc.get("state_or_province") or [],
                         "deposit_type_candidates": site.get(
                             "deposit_type_candidate"
                         )

@@ -1,0 +1,508 @@
+"""K2: the reference's merged ``dedup_sites.json`` layout.
+
+``prep_kgrel_input`` (`minmodkg/etl/mineral_site.py:302-365`) writes one
+JSON document with four sections — ``DedupMineralSite`` / ``MineralSite`` /
+``MineralInventoryView`` / ``DedupMineralInventoryView`` — whose row shapes
+are the kgrel models' ``to_dict`` layouts
+(`models/kgrel/dedup_mineral_site.py:385-419`, `mineral_site.py:246-293`,
+`views/mineral_inventory_view.py:31-41,91-103`,
+`custom_types/{ref_value,site_and_score,location}.py`).  Downstream loaders
+consume exactly this file.
+
+Spark-first: every section is produced as a DataFrame of JSON strings —
+``mineral_site_json_rows`` is a pure map (mapInPandas batch shaper), the
+dedup section re-joins per-site score metadata with two shuffles — so the
+same code writes partitioned JSONL at corpus scale
+(``write_dedup_sites_jsonl``) or the reference's single merged file at
+export scale (``write_dedup_sites_json``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import DEFAULT_SOURCE_SCORE, SYSTEM_PREFIX
+
+# -- makedict equivalents (ref misc/utils.py makedict) -------------------------
+
+
+def _lst(v) -> list:
+    """Arrow hands array fields to mapInPandas as numpy arrays — `v or []`
+    is ambiguous there; always convert explicitly."""
+    return [] if v is None else list(v)
+
+
+def _clean(v):
+    import numpy as np
+
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def _wn(pairs) -> dict:
+    return {k: _clean(v) for k, v in pairs if _clean(v) is not None}
+
+
+def _wnel(pairs) -> dict:
+    out = {}
+    for k, v in pairs:
+        v = _clean(v)
+        if v is None or (isinstance(v, list) and len(v) == 0):
+            continue
+        out[k] = v
+    return out
+
+
+# -- kg-model shapers (CandidateEntity / Measure / Reference / Inventory) -----
+
+
+def _cand(c: Optional[dict]):
+    if c is None:
+        return None
+    return _wn(
+        (
+            ("source", c.get("source")),
+            ("confidence", c.get("confidence")),
+            ("observed_name", c.get("observed_name")),
+            ("normalized_uri", c.get("normalized_uri")),
+        )
+    )
+
+
+def _measure(m: Optional[dict]):
+    if m is None:
+        return None
+    return _wn((("value", m.get("value")), ("unit", _cand(m.get("unit")))))
+
+
+def _page_info(pi: dict):
+    bb = pi.get("bounding_box")
+    return _wn(
+        (
+            ("page", pi.get("page")),
+            (
+                "bounding_box",
+                (
+                    {
+                        "x_max": bb.get("x_max"),
+                        "x_min": bb.get("x_min"),
+                        "y_max": bb.get("y_max"),
+                        "y_min": bb.get("y_min"),
+                    }
+                    if bb is not None
+                    else None
+                ),
+            ),
+        )
+    )
+
+
+def _reference(r: Optional[dict]):
+    if r is None:
+        return None
+    doc = r.get("document") or {}
+    return _wnel(
+        (
+            (
+                "document",
+                _wn(
+                    (
+                        ("doi", doc.get("doi")),
+                        ("uri", doc.get("uri")),
+                        ("title", doc.get("title")),
+                    )
+                ),
+            ),
+            ("page_info", [_page_info(p) for p in _lst(r.get("page_info"))]),
+            ("comment", r.get("comment")),
+            ("property", r.get("property")),
+        )
+    )
+
+
+def _inventory(inv: dict):
+    return _wnel(
+        (
+            ("reference", _reference(inv.get("reference"))),
+            ("commodity", _cand(inv.get("commodity"))),
+            ("category", [_cand(c) for c in _lst(inv.get("category"))]),
+            ("grade", _measure(inv.get("grade"))),
+            ("material_form", _cand(inv.get("material_form"))),
+            ("ore", _measure(inv.get("ore"))),
+            ("cutoff_grade", _measure(inv.get("cutoff_grade"))),
+            ("date", inv.get("date")),
+            ("zone", inv.get("zone")),
+        )
+    )
+
+
+# -- kgrel MineralSite row shaper ----------------------------------------------
+
+
+def _site_score(row: dict) -> dict:
+    """SiteScore.to_dict (`custom_types/site_and_score.py:32-36,79-92`)."""
+    is_expert = not row["created_by"].startswith(SYSTEM_PREFIX)
+    if is_expert:
+        return {"score": 1.0, "suborder": [True, row["modified_at"]]}
+    score = row.get("source_score")
+    if score is None or score < 0:
+        score = DEFAULT_SOURCE_SCORE
+    return {
+        "score": min(score, 0.99),
+        "suborder": [False, row["source_id"], row["record_id"], row["modified_at"]],
+    }
+
+
+def ms_to_dict(row: dict) -> dict:
+    """kgrel MineralSite.to_dict (`models/kgrel/mineral_site.py:246-293`)."""
+    location = _wnel(
+        (
+            ("country", [_cand(c) for c in _lst(row.get("country_candidates"))]),
+            (
+                "state_or_province",
+                [_cand(c) for c in _lst(row.get("state_candidates"))],
+            ),
+            ("crs", _cand(row.get("location_crs"))),
+            ("coordinates", row.get("location_wkt")),
+        )
+    )
+    location_view = _wnel(
+        (
+            ("lat", row.get("lat")),
+            ("lon", row.get("lon")),
+            ("country", [str(x) for x in _lst(row.get("country"))]),
+            ("state_or_province", [str(x) for x in _lst(row.get("state_or_province"))]),
+        )
+    )
+    geo = row.get("geology_info")
+    return _wnel(
+        (
+            ("site_id", row["site_id"]),
+            ("dedup_site_id", row.get("dedup_site_id")),
+            ("source_id", row["source_id"]),
+            ("source_score", row.get("source_score")),
+            ("record_id", row["record_id"]),
+            ("name", row.get("name")),
+            ("aliases", [str(x) for x in _lst(row.get("aliases"))]),
+            ("rank", row.get("rank")),
+            ("type", row.get("type")),
+            ("location", location or None),
+            ("location_view", location_view or None),
+            (
+                "deposit_type_candidates",
+                [_cand(c) for c in _lst(row.get("deposit_type_candidates"))],
+            ),
+            ("inventories", [_inventory(i) for i in _lst(row.get("inventories"))]),
+            ("reference", [_reference(r) for r in _lst(row.get("reference"))]),
+            (
+                "geology_info",
+                (
+                    _wn(
+                        (
+                            ("alteration", geo.get("alteration")),
+                            (
+                                "concentration_process",
+                                geo.get("concentration_process"),
+                            ),
+                            ("ore_control", geo.get("ore_control")),
+                            (
+                                "host_rock",
+                                _wn(
+                                    (
+                                        ("unit", (geo.get("host_rock") or {}).get("unit")),
+                                        ("type", (geo.get("host_rock") or {}).get("type")),
+                                    )
+                                )
+                                or None,
+                            ),
+                            (
+                                "associated_rock",
+                                _wn(
+                                    (
+                                        (
+                                            "unit",
+                                            (geo.get("associated_rock") or {}).get("unit"),
+                                        ),
+                                        (
+                                            "type",
+                                            (geo.get("associated_rock") or {}).get("type"),
+                                        ),
+                                    )
+                                )
+                                or None,
+                            ),
+                            ("structure", geo.get("structure")),
+                            ("tectonic", geo.get("tectonic")),
+                        )
+                    )
+                    if geo is not None
+                    else None
+                ),
+            ),
+            ("mineral_form", [str(x) for x in _lst(row.get("mineral_form"))]),
+            ("discovered_year", row.get("discovered_year")),
+            ("created_by", row["created_by"]),
+            ("modified_at", row["modified_at"]),
+        )
+    )
+
+
+# -- DedupMineralSite row shaper -------------------------------------------------
+
+
+def _refval(v: Optional[dict]):
+    return (
+        {"value": _clean(v.get("value")), "refid": v["refid"]}
+        if v is not None
+        else None
+    )
+
+
+def _ref_geology(geojson: Optional[str]) -> dict:
+    """RefGeologyInfo.to_dict — all seven keys, None when absent."""
+    g = json.loads(geojson) if geojson else {}
+
+    def rock(r):
+        if r is None:
+            return None
+        return {
+            "unit": _refval(r.get("unit")),
+            "type": _refval(r.get("type")),
+        }
+
+    return {
+        "alteration": _refval(g.get("alteration")),
+        "concentration_process": _refval(g.get("concentration_process")),
+        "ore_control": _refval(g.get("ore_control")),
+        "host_rock": rock(g.get("host_rock")),
+        "associated_rock": rock(g.get("associated_rock")),
+        "structure": _refval(g.get("structure")),
+        "tectonic": _refval(g.get("tectonic")),
+    }
+
+
+def dedup_to_dict(row: dict, ranked_meta: list[dict]) -> dict:
+    """kgrel DedupMineralSite.to_dict (`dedup_mineral_site.py:385-419`).
+
+    ``ranked_meta``: per ranked site (in rank order) the score-metadata
+    fields (created_by, source_id, record_id, modified_at, source_score).
+    """
+    coords = row.get("coordinates")
+    dy = row.get("discovered_year")
+    return _wnel(
+        (
+            ("id", row["dedup_site_id"]),
+            ("name", _refval(row.get("name"))),
+            ("type", _refval(row.get("type"))),
+            ("rank", _refval(row.get("rank"))),
+            (
+                "deposit_types",
+                [
+                    {
+                        "value": {
+                            "id": dt["id"],
+                            "source": dt["source"],
+                            "confidence": _clean(dt["confidence"]),
+                        },
+                        "refid": dt["refid"],
+                    }
+                    for dt in _lst(row.get("ranked_deposit_types"))
+                ],
+            ),
+            (
+                "coordinates",
+                (
+                    {
+                        "value": _wn(
+                            (("lat", coords.get("lat")), ("lon", coords.get("lon")))
+                        ),
+                        "refid": coords["refid"],
+                    }
+                    if coords is not None
+                    else None
+                ),
+            ),
+            ("country", _refval_list(row.get("country"))),
+            ("state_or_province", _refval_list(row.get("state_or_province"))),
+            ("mineral_form", _refval_list(row.get("mineral_form"))),
+            ("geology_info", _ref_geology(row.get("geology_info"))),
+            (
+                "discovered_year",
+                {"value": int(dy["value"]), "refid": dy["refid"]} if dy else None,
+            ),
+            (
+                "ranked_sites",
+                [
+                    {"site_id": m["site_id"], "score": _site_score(m)}
+                    for m in ranked_meta
+                ],
+            ),
+            ("modified_at", row["modified_at"]),
+        )
+    )
+
+
+def _refval_list(v: Optional[dict]):
+    if v is None:
+        return None
+    return {"value": [str(x) for x in _lst(v.get("value"))], "refid": v["refid"]}
+
+
+# -- DataFrame-of-JSON builders (scalable) --------------------------------------
+
+
+def _json_batches(shaper):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            yield pd.DataFrame(
+                {"json": [json.dumps(shaper(r), sort_keys=True) for r in rows]}
+            )
+
+    return fn
+
+
+def mineral_site_json_rows(sites_rel: DataFrame) -> DataFrame:
+    """MineralSite section — pure map, scales with partitions."""
+    return sites_rel.mapInPandas(_json_batches(ms_to_dict), schema="json string")
+
+
+def dedup_site_json_rows(dedup_attrs: DataFrame, sites_rel: DataFrame) -> DataFrame:
+    """DedupMineralSite section: ranked-site score metadata re-joined in
+    rank order (two shuffles, partial-aggregated)."""
+    meta = sites_rel.select(
+        "site_id", "created_by", "source_id", "record_id", "modified_at",
+        "source_score",
+    )
+    ex = (
+        dedup_attrs.select(
+            "dedup_site_id", F.posexplode("ranked_sites").alias("pos", "rs")
+        )
+        .select("dedup_site_id", "pos", F.col("rs.site_id").alias("site_id"))
+        .join(meta, "site_id")
+    )
+    regrouped = ex.groupBy("dedup_site_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "pos", "site_id", "created_by", "source_id", "record_id",
+                    "modified_at", "source_score",
+                )
+            )
+        ).alias("ranked_meta")
+    )
+    full = dedup_attrs.join(regrouped, "dedup_site_id", "left")
+
+    def shaper(r):
+        return dedup_to_dict(r, _lst(r.get("ranked_meta")))
+
+    return full.mapInPandas(_json_batches(shaper), schema="json string")
+
+
+def inventory_view_json_rows(
+    inv_views: DataFrame, sites_rel: DataFrame
+) -> DataFrame:
+    """MineralInventoryView section: {"invs": [...], "site": id} — one
+    entry per SITE (the reference iterates id2site, so sites without any
+    normalized-commodity inventory still emit an empty-invs row)."""
+    grouped = sites_rel.select("site_id").join(
+        inv_views.groupBy("site_id").agg(
+            F.collect_list(
+                F.struct("commodity", "contained_metal", "tonnage", "grade", "date")
+            ).alias("invs")
+        ),
+        "site_id",
+        "left",
+    )
+
+    def shaper(r):
+        return {
+            "invs": [
+                _wn(
+                    (
+                        ("commodity", i["commodity"]),
+                        ("contained_metal", i["contained_metal"]),
+                        ("tonnage", i["tonnage"]),
+                        ("grade", i["grade"]),
+                        ("date", i["date"]),
+                    )
+                )
+                for i in _lst(r.get("invs"))
+            ],
+            "site": r["site_id"],
+        }
+
+    return grouped.mapInPandas(_json_batches(shaper), schema="json string")
+
+
+def dedup_inventory_json_rows(dedup_invs: DataFrame) -> DataFrame:
+    def shaper(r):
+        return _wn(
+            (
+                ("commodity", r["commodity"]),
+                ("contained_metal", r["contained_metal"]),
+                ("tonnage", r["tonnage"]),
+                ("grade", r["grade"]),
+                ("date", r["date"]),
+                ("site_id", r["site_id"]),
+                ("dedup_site_id", r["dedup_site_id"]),
+            )
+        )
+
+    return dedup_invs.mapInPandas(_json_batches(shaper), schema="json string")
+
+
+SECTIONS = (
+    "DedupMineralSite",
+    "MineralSite",
+    "MineralInventoryView",
+    "DedupMineralInventoryView",
+)
+
+
+def dedup_sites_json_sections(out: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Section name → DataFrame[json string] (the scalable form)."""
+    return {
+        "DedupMineralSite": dedup_site_json_rows(
+            out["dedup_sites"], out["sites_rel"]
+        ),
+        "MineralSite": mineral_site_json_rows(out["sites_rel"]),
+        "MineralInventoryView": inventory_view_json_rows(
+            out["inv_views"], out["sites_rel"]
+        ),
+        "DedupMineralInventoryView": dedup_inventory_json_rows(
+            out["dedup_inventories"]
+        ),
+    }
+
+
+def write_dedup_sites_jsonl(out: dict[str, DataFrame], outdir: str) -> None:
+    """Corpus-scale layout: one JSONL directory per section."""
+    for name, df in dedup_sites_json_sections(out).items():
+        df.write.mode("overwrite").text(f"{outdir}/{name}.jsonl")
+
+
+def dedup_sites_json(out: dict[str, DataFrame]) -> dict:
+    """The reference's single merged document (export scale — collects)."""
+    return {
+        name: [json.loads(r["json"]) for r in df.collect()]
+        for name, df in dedup_sites_json_sections(out).items()
+    }
+
+
+def write_dedup_sites_json(out: dict[str, DataFrame], path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(dedup_sites_json(out), f)

@@ -445,6 +445,12 @@ def main(argv=None):
     ap.add_argument("--workdir", default="/tmp/kg_pipeline")
     ap.add_argument("--master", default=None)
     ap.add_argument("--n-buckets", type=int, default=N_BUCKETS_DEFAULT)
+    ap.add_argument(
+        "--export-kgrel",
+        action="store_true",
+        help="also write the reference's dedup_sites.json merged layout "
+        "(K2) under <workdir>/kgrel/",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(master=args.master)
@@ -455,6 +461,14 @@ def main(argv=None):
     curated = synthetic.curated_edges_df(spark, args.n_sites)
     pipe = KGPipeline(spark, args.workdir, n_buckets=args.n_buckets)
     out = pipe.run(ingest, vdfs, edges, curated)
+    if args.export_kgrel:
+        from .export import write_dedup_sites_json, write_dedup_sites_jsonl
+
+        os.makedirs(os.path.join(args.workdir, "kgrel"), exist_ok=True)
+        write_dedup_sites_jsonl(out, os.path.join(args.workdir, "kgrel"))
+        write_dedup_sites_json(
+            out, os.path.join(args.workdir, "kgrel", "dedup_sites.json")
+        )
     n_triples = out["triples"].count()
     wall = time.time() - t0
     print(

@@ -172,6 +172,9 @@ SITE_REL = StructType(
         _s("lon", DoubleType()),
         _s("country", ArrayType(StringType())),  # internal ids (Q###)
         _s("state_or_province", ArrayType(StringType())),
+        # raw candidates kept for K2 export fidelity (kgrel Location keeps them)
+        _s("country_candidates", ArrayType(CANDIDATE_ENTITY)),
+        _s("state_candidates", ArrayType(CANDIDATE_ENTITY)),
         _s("deposit_type_candidates", ArrayType(CANDIDATE_ENTITY)),
         _s("inventories", ArrayType(MINERAL_INVENTORY)),
         _s("reference", ArrayType(REFERENCE)),

@@ -1,0 +1,158 @@
+"""K2 dedup_sites.json export (ref etl/mineral_site.py:302-365).
+
+Checks on the reference's own fixture corpus:
+- the four-section layout and per-row key shapes,
+- raw-roundtrip oracle: the exported MineralSite rows' nested content
+  (location candidates, inventories, references, geology) must equal the
+  shapers applied DIRECTLY to the raw fixture JSON — any field the Spark
+  schema drops or mangles shows up as a diff,
+- ranked_sites are in score-descending order with the reference's
+  suborder tie-break encoding.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from ta2_minmod_kg_spark.functions.ids import get_username, make_site_id
+from ta2_minmod_kg_spark.operators import canonicalize, dedup, extract, grade_tonnage
+from ta2_minmod_kg_spark.plans.export import (
+    SECTIONS,
+    _inventory,
+    _reference,
+    _cand,
+    dedup_sites_json,
+)
+from ta2_minmod_kg_spark.sources import vocab
+
+FIXTURE_DIR = Path("/root/reference/tests/resources/kgdata/mineral-sites/json")
+
+pytestmark = pytest.mark.skipif(
+    not FIXTURE_DIR.exists(), reason="reference fixtures not available"
+)
+
+
+def _load_records():
+    recs = []
+    for f in sorted(FIXTURE_DIR.glob("*.json")):
+        recs.extend(json.load(open(f)))
+    return recs
+
+
+@pytest.fixture(scope="module")
+def exported(spark):
+    recs = _load_records()
+    rows = [
+        {
+            "repo": "reference-fixtures",
+            "path": f"inferlink/cdr/0/rec-{i}.json",
+            "commit": f"{i:08x}",
+            "lang": "json",
+            "content": json.dumps(r, sort_keys=True),
+        }
+        for i, r in enumerate(recs)
+    ]
+    ingest = spark.createDataFrame(pd.DataFrame(rows))
+    parsed, _ = extract.split_violations(extract.parse_sites(ingest))
+    vdfs = vocab.vocab_dataframes(spark)
+    sites = extract.normalize_sites(parsed, vdfs).persist()
+    membership = canonicalize.build_membership(sites, None, None)
+    swd = sites.drop("dedup_site_id").join(membership, "site_id").persist()
+    out = {
+        "sites_rel": swd,
+        "dedup_sites": dedup.merge_dedup_sites(swd),
+        "inv_views": grade_tonnage.grade_tonnage_view(
+            extract.explode_inventories(sites, vdfs)
+        ),
+        "dedup_inventories": dedup.select_dedup_inventories(
+            swd,
+            grade_tonnage.grade_tonnage_view(
+                extract.explode_inventories(sites, vdfs)
+            ),
+        ),
+    }
+    doc = dedup_sites_json(out)
+    return recs, doc
+
+
+def test_sections_and_counts(exported):
+    recs, doc = exported
+    assert set(doc) == set(SECTIONS)
+    assert len(doc["MineralSite"]) == len(recs)
+    assert len(doc["MineralInventoryView"]) == len(recs)
+    assert 0 < len(doc["DedupMineralSite"]) <= len(recs)
+    dedup_ids = {d["id"] for d in doc["DedupMineralSite"]}
+    for ms in doc["MineralSite"]:
+        assert ms["dedup_site_id"] in dedup_ids
+    for inv in doc["DedupMineralInventoryView"]:
+        assert inv["dedup_site_id"] in dedup_ids
+
+
+def test_mineral_site_rows_roundtrip_raw(exported):
+    """Exported nested content == shapers over the RAW fixture dict."""
+    recs, doc = exported
+    by_id = {ms["site_id"]: ms for ms in doc["MineralSite"]}
+    for raw in recs:
+        sid = make_site_id(
+            get_username(raw["created_by"]), raw["source_id"], str(raw["record_id"])
+        )
+        ms = by_id[sid]
+        assert ms["source_id"] == raw["source_id"]
+        assert ms["record_id"] == str(raw["record_id"])
+        assert ms["created_by"] == raw["created_by"]
+        want_invs = [_inventory(i) for i in raw.get("mineral_inventory", [])]
+        assert ms.get("inventories", []) == want_invs, sid
+        want_refs = [_reference(r) for r in raw.get("reference", [])]
+        assert ms.get("reference", []) == want_refs, sid
+        loc = raw.get("location_info")
+        if loc:
+            got_loc = ms.get("location", {})
+            assert got_loc.get("coordinates") == loc.get("location")
+            want_c = [_cand(c) for c in loc.get("country", [])]
+            assert got_loc.get("country", []) == want_c, sid
+            want_s = [_cand(c) for c in loc.get("state_or_province", [])]
+            assert got_loc.get("state_or_province", []) == want_s, sid
+        if raw.get("name") is not None:
+            assert ms["name"] == raw["name"]
+
+
+def test_dedup_rows_shape(exported):
+    _, doc = exported
+    allowed = {
+        "id", "name", "type", "rank", "deposit_types", "coordinates",
+        "country", "state_or_province", "mineral_form", "geology_info",
+        "discovered_year", "ranked_sites", "modified_at",
+    }
+    geo_keys = {
+        "alteration", "concentration_process", "ore_control", "host_rock",
+        "associated_rock", "structure", "tectonic",
+    }
+    for d in doc["DedupMineralSite"]:
+        assert set(d) <= allowed, d.keys()
+        assert {"id", "country", "state_or_province", "mineral_form",
+                "geology_info", "ranked_sites", "modified_at"} <= set(d)
+        assert set(d["geology_info"]) == geo_keys
+        # ranked order: score desc with reference suborder tie-break
+        keys = [
+            (s["score"]["score"], tuple(map(str, s["score"]["suborder"])))
+            for s in d["ranked_sites"]
+        ]
+        assert keys == sorted(keys, reverse=True) or len(keys) <= 1
+        for dt in d.get("deposit_types", []):
+            assert set(dt) == {"value", "refid"}
+            assert set(dt["value"]) == {"id", "source", "confidence"}
+
+
+def test_inventory_view_rows(exported):
+    recs, doc = exported
+    for entry in doc["MineralInventoryView"]:
+        assert set(entry) == {"invs", "site"}
+        for inv in entry["invs"]:
+            assert "commodity" in inv
+            assert set(inv) <= {
+                "commodity", "contained_metal", "tonnage", "grade", "date",
+            }
