@@ -153,3 +153,158 @@ def unlinked_mentions(sites_rel: DataFrame, kind: str) -> DataFrame:
         ),
         F.col("ce.observed_name").alias("text"),
     )
+
+
+# -- S5: vocabulary TTL scan (ref entity_linking.py:31-58) ---------------------
+
+_TTL_LINE_RE = None  # compiled lazily inside the kernel closure
+
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+SKOS_ALT_LABEL = "http://www.w3.org/2004/02/skos/core#altLabel"
+MO_ALIASES = "https://minmod.isi.edu/ontology/aliases"
+
+_TTL_UNESCAPES = [
+    ("\\n", "\n"),
+    ("\\r", "\r"),
+    ("\\t", "\t"),
+    ('\\"', '"'),
+    ("\\\\", "\\"),
+]
+
+
+def _read_prefixes(spark, path: str) -> dict[str, str]:
+    """@prefix lines (inline or the engine's sibling _prefixes.ttl)."""
+    import os
+    import re
+
+    pref_re = re.compile(r"@prefix\s+([A-Za-z][\w-]*):\s*<([^>]*)>\s*\.")
+    prefixes: dict[str, str] = {}
+    sidecar = os.path.join(path, "_prefixes.ttl")
+    if os.path.isdir(path) and os.path.exists(sidecar):
+        text = open(sidecar).read()
+        for m in pref_re.finditer(text):
+            prefixes[m.group(1)] = m.group(2)
+    rows = (
+        spark.read.text(path)
+        .filter(F.col("value").startswith("@prefix"))
+        .collect()
+    )
+    for r in rows:
+        m = pref_re.search(r["value"])
+        if m:
+            prefixes[m.group(1)] = m.group(2)
+    return prefixes
+
+
+def read_ttl_triples(spark, path: str) -> DataFrame:
+    """S5: line-oriented Turtle scan → (subj, pred, obj_uri, obj_literal).
+
+    Scope: the one-triple-per-line ``s p o .`` subset the reference's
+    entity export writes (etl/kgrel_entity.py:113-121 via
+    TripleStore.prefix_part headers) and this engine's write_ttl output —
+    curies or <absolute> URIs for subj/pred, and quoted (optionally
+    ``^^``-typed) literals or URIs for the object.  Full Turtle
+    (multi-line, ``;``/``,`` continuation, blank nodes) is out of scope.
+
+    Distributed: prefixes are collected once (tiny by nature), the line
+    parse is an Arrow-batched kernel over the text scan.
+    """
+    import re
+
+    prefixes = _read_prefixes(spark, path)
+    line_re = re.compile(r"^\s*(\S+)\s+(\S+)\s+(.+?)\s*\.\s*$")
+
+    def expand(term: str) -> str:
+        if term.startswith("<") and term.endswith(">"):
+            return term[1:-1]
+        if ":" in term:
+            p, local = term.split(":", 1)
+            if p in prefixes:
+                return prefixes[p] + local
+        return term
+
+    def parse_obj(o: str) -> tuple[str | None, str | None]:
+        if o.startswith('"'):
+            # strip ^^datatype / @lang suffix after the closing quote
+            end = len(o) - 1
+            while end > 0 and not (o[end] == '"' and o[end - 1] != "\\"):
+                end -= 1
+            lex = o[1:end]
+            for esc, ch in _TTL_UNESCAPES:
+                lex = lex.replace(esc, ch)
+            return None, lex
+        return expand(o), None
+
+    def fn(batches):
+        for pdf in batches:
+            subjs, preds, ouris, olits = [], [], [], []
+            for line in pdf["value"]:
+                s = line.strip()
+                if not s or s.startswith("@prefix") or s.startswith("#"):
+                    continue
+                m = line_re.match(s)
+                if not m:
+                    continue
+                subjs.append(expand(m.group(1)))
+                preds.append(expand(m.group(2)))
+                ou, ol = parse_obj(m.group(3))
+                ouris.append(ou)
+                olits.append(ol)
+            yield pd.DataFrame(
+                {
+                    "subj": subjs,
+                    "pred": preds,
+                    "obj_uri": ouris,
+                    "obj_literal": olits,
+                }
+            )
+
+    return spark.read.text(path).mapInPandas(
+        fn, schema="subj string, pred string, obj_uri string, obj_literal string"
+    )
+
+
+def vocab_docs_from_ttl(spark, path: str) -> list[dict]:
+    """S5 → linker docs: per subject, labels = rdfs:label + skos:altLabel
+    (+ mo:aliases, this engine's entity-TTL alias predicate), id = the
+    internal id (MR namespace stripped).  Mirrors the reference's
+    EntityLinking constructor (entity_linking.py:31-58)."""
+    from ..functions.ids import MR_NS
+
+    t = read_ttl_triples(spark, path)
+    labels = (
+        t.filter(
+            F.col("pred").isin(RDFS_LABEL, SKOS_ALT_LABEL, MO_ALIASES)
+            & F.col("obj_literal").isNotNull()
+        )
+        .groupBy("subj")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        # rdfs:label first (the canonical name), then alts
+                        F.when(F.col("pred") == RDFS_LABEL, 0)
+                        .otherwise(1)
+                        .alias("k"),
+                        F.col("obj_literal").alias("label"),
+                    )
+                )
+            ).alias("ls")
+        )
+        .select(
+            "subj", F.transform("ls", lambda x: x["label"]).alias("labels")
+        )
+        .collect()
+    )
+    return [
+        {
+            "id": (
+                r["subj"][len(MR_NS):]
+                if r["subj"].startswith(MR_NS)
+                else r["subj"]
+            ),
+            "labels": list(r["labels"]),
+            "prop": None,
+        }
+        for r in labels
+    ]
