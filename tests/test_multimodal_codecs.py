@@ -1,0 +1,136 @@
+"""Real multimodal codecs: uncompressed BMP / binary-PPM images and PCM
+WAV audio decode natively (pure numpy/stdlib) inside mapInPandas."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ta2_minmod_kg_spark.operators.multimodal import (
+    audio_features,
+    decode_image,
+    decode_wav,
+    image_features,
+    resize_images,
+    resize_luma,
+)
+
+
+def make_bmp(w: int, h: int, rgb) -> bytes:
+    """Minimal 24-bit BMP writer (bottom-up rows, 4-byte padding)."""
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = b""
+        for x in range(w):
+            r, g, b = rgb(x, y)
+            line += bytes([b, g, r])
+        body += line + b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + dib + body
+
+
+def make_ppm(w: int, h: int, rgb) -> bytes:
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body.extend(rgb(x, y))
+    return f"P6\n# test\n{w} {h}\n255\n".encode() + bytes(body)
+
+
+def make_wav(rate: int, samples: np.ndarray, bits: int = 16, n_ch: int = 1) -> bytes:
+    if bits == 16:
+        data = (samples * 32767).astype("<i2").tobytes()
+    else:
+        raise ValueError(bits)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * bits // 8, n_ch * bits // 8, bits)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_bmp_and_ppm_decode_agree():
+    rgb = lambda x, y: ((x * 7) % 256, (y * 11) % 256, (x + y) % 256)
+    w_b, h_b, luma_b = decode_image(make_bmp(13, 9, rgb))
+    w_p, h_p, luma_p = decode_image(make_ppm(13, 9, rgb))
+    assert (w_b, h_b) == (w_p, h_p) == (13, 9)
+    assert luma_b.shape == (9, 13)
+    np.testing.assert_allclose(luma_b, luma_p, atol=1e-6)
+    # white pixel → luma 1.0
+    _, _, white = decode_image(make_ppm(1, 1, lambda x, y: (255, 255, 255)))
+    assert white[0, 0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_resize_luma():
+    _, _, luma = decode_image(make_ppm(16, 8, lambda x, y: (x * 16, x * 16, x * 16)))
+    small = resize_luma(luma, 4, 4)
+    assert small.shape == (4, 4)
+    assert small[0, 0] < small[0, -1]  # gradient preserved
+
+
+def test_wav_decode():
+    t = np.arange(8000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    rate, n_ch, x = decode_wav(make_wav(8000, sine))
+    assert rate == 8000 and n_ch == 1 and len(x) == 8000
+    assert np.sqrt(np.mean(x * x)) == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+
+
+def test_unsupported_codec_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+@pytest.fixture()
+def real_assets(spark):
+    rgb = lambda x, y: ((x * 5) % 256, (y * 3) % 256, 128)
+    t = np.arange(4000) / 8000.0
+    rows = [
+        {"asset_id": "img-bmp", "kind": "image", "payload": make_bmp(32, 16, rgb), "meta": {}},
+        {"asset_id": "img-ppm", "kind": "image", "payload": make_ppm(800, 600, rgb), "meta": {}},
+        {"asset_id": "aud-wav", "kind": "audio",
+         "payload": make_wav(8000, 0.25 * np.sin(2 * np.pi * 220 * t).astype(np.float32)),
+         "meta": {}},
+    ]
+    from ta2_minmod_kg_spark.schemas import ASSET
+
+    return spark.createDataFrame(pd.DataFrame(rows), schema=ASSET)
+
+
+def test_image_features_on_real_payloads(spark, real_assets):
+    got = image_features(real_assets, fake=False).toPandas().set_index("asset_id")
+    assert got.loc["img-bmp", "width"] == 32
+    assert got.loc["img-ppm", "height"] == 600
+    assert 0.0 < got.loc["img-bmp", "mean_luma"] < 1.0
+    assert len(got.loc["img-bmp", "feat"]) == 16
+
+
+def test_resize_images_on_real_payloads(spark, real_assets):
+    got = resize_images(real_assets, max_side=128).toPandas().set_index("asset_id")
+    assert got.loc["img-ppm", "target_w"] == 128
+    assert got.loc["img-ppm", "target_h"] == 96
+    assert got.loc["img-bmp", "target_w"] == 32  # under max_side: untouched
+    # nearest-neighbor resize preserves the mean to first order
+    assert got.loc["img-ppm", "resized_mean"] == pytest.approx(0.39, abs=0.1)
+
+
+def test_audio_features_on_real_payloads(spark, real_assets):
+    got = audio_features(real_assets).toPandas().set_index("asset_id")
+    assert got.loc["aud-wav", "sample_rate"] == 8000
+    assert got.loc["aud-wav", "duration_sec"] == pytest.approx(0.5, abs=1e-6)
+    assert got.loc["aud-wav", "rms"] == pytest.approx(0.25 / np.sqrt(2), rel=1e-2)

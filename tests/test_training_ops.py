@@ -104,8 +104,10 @@ def test_multimodal_plumbing(spark):
     assert feats.sort_values("asset_id")["mean_luma"].tolist() == pytest.approx(
         feats2.sort_values("asset_id")["mean_luma"].tolist()
     )
+    # compressed codecs (JPEG magic) are the only unsupported path now —
+    # BMP/PPM/WAV decode natively (tests/test_multimodal_codecs.py)
     with pytest.raises(NotImplementedError):
-        decode_image(b"FAKEIMG1" + b"\0" * 16, fake=False)
+        decode_image(b"\xff\xd8\xff\xe0 jpeg", fake=False)
 
     rp = resize_plan(assets, max_side=256).toPandas()
     assert (rp[rp["needs_resize"]]["target_w"] <= 256).all()
