@@ -507,8 +507,9 @@ FROM documents ORDER BY doc_id
 
 
 def docs_quality(spark, sf_dir):
-    """Quality scoring + language id (heuristics are engine-defined →
-    rows-only)."""
+    """Quality scoring + language id — engine-defined heuristics, but both
+    are pure arithmetic over the text, so the oracle re-states them in
+    DuckDB SQL and the driver hash-checks the values."""
     d = _t(spark, sf_dir, "documents")
     from ..functions.text import language_id, quality_score
 
@@ -517,6 +518,56 @@ def docs_quality(spark, sf_dir):
         F.round(quality_score(F.col("text")), 6).alias("quality"),
         language_id(F.col("text")).alias("lang_detected"),
     ).orderBy("doc_id")
+
+
+def _sql_stop_hits(lang_list: str) -> str:
+    return (
+        "len(list_filter(words, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in lang_list.split())
+        + ")))"
+    )
+
+
+DOCS_QUALITY_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
+         string_split_regex(lower(text), '[^a-zà-ÿ]+') AS words
+  FROM documents
+), r AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 0 THEN alpha / CAST(n AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN n > 0 THEN punct / CAST(n AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+    len(words) AS nw,
+    {_sql_stop_hits("the of and to in a is that for it as was with be by on not")} AS en_hits,
+    {_sql_stop_hits("der die das und zu den von ist des sich mit dem nicht")} AS de_hits,
+    {_sql_stop_hits("le la les de des et un une du en est que pour dans")} AS fr_hits,
+    {_sql_stop_hits("el la los las de y en un una del es que por con para")} AS es_hits
+  FROM w
+), s AS (
+  SELECT doc_id, n, alpha_ratio, punct_ratio,
+    CASE WHEN nw > 0 THEN en_hits / CAST(nw AS DOUBLE) ELSE 0.0 END AS en_s,
+    CASE WHEN nw > 0 THEN de_hits / CAST(nw AS DOUBLE) ELSE 0.0 END AS de_s,
+    CASE WHEN nw > 0 THEN fr_hits / CAST(nw AS DOUBLE) ELSE 0.0 END AS fr_s,
+    CASE WHEN nw > 0 THEN es_hits / CAST(nw AS DOUBLE) ELSE 0.0 END AS es_s
+  FROM r
+)
+SELECT doc_id,
+  round(0.3 * least(n / 500.0, 1.0)
+      + 0.3 * alpha_ratio
+      + 0.2 * (1.0 - least(abs(punct_ratio - 0.03) * 10, 1.0))
+      + 0.2 * least(en_s * 4, 1.0), 6) AS quality,
+  -- Spark's array_max over (score, label) structs: max score, ties by
+  -- label DESCENDING (fr > es > en > de lexicographically)
+  CASE WHEN greatest(en_s, de_s, fr_s, es_s) < 0.08 THEN 'unknown'
+       WHEN fr_s = greatest(en_s, de_s, fr_s, es_s) THEN 'fr'
+       WHEN es_s = greatest(en_s, de_s, fr_s, es_s) THEN 'es'
+       WHEN en_s = greatest(en_s, de_s, fr_s, es_s) THEN 'en'
+       ELSE 'de' END AS lang_detected
+FROM s ORDER BY doc_id
+"""
 
 
 def docs_fingerprint(spark, sf_dir):
@@ -855,6 +906,7 @@ ORACLE_SQL = {
     "docs_exact_dups": DOCS_EXACT_SQL,
     "docs_ngram_jaccard": DOCS_NGRAM_SQL,
     "docs_token_stats": DOCS_TOKENS_SQL,
+    "docs_quality": DOCS_QUALITY_SQL,
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_lsh_neardups": EMB_LSH_SQL,
     "emb_label_centroid_sim": EMB_CENTROID_SQL,
