@@ -228,14 +228,17 @@ def main():
     n_lo, n_hi = SCALING_CORES
     scaling = {}
     for n in (n_lo, n_hi):
-        # two independent subprocess trials per level, keep the faster —
-        # shared-box noise at these walls is ±30%, and a single slow trial
-        # on either side swings the ratio arbitrarily in both directions
-        trials = [
-            _run_phase(["--scaling-probe", str(n), str(SCALING_N_SITES)])
-            for _ in range(2)
-        ]
-        scaling[f"local_{n}"] = min(trials, key=lambda r: r["wall_sec"])
+        # three independent subprocess trials per level, keep the MEDIAN
+        # by wall — shared-box noise at these walls is ±30%, and a single
+        # outlier on either side swings the ratio arbitrarily
+        trials = sorted(
+            (
+                _run_phase(["--scaling-probe", str(n), str(SCALING_N_SITES)])
+                for _ in range(3)
+            ),
+            key=lambda r: r["wall_sec"],
+        )
+        scaling[f"local_{n}"] = trials[1]
     lo, hi = scaling[f"local_{n_lo}"], scaling[f"local_{n_hi}"]
     ratio = n_hi / n_lo
     thr8 = lo["triples_per_sec"]

