@@ -144,3 +144,112 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# -- custom stateful operator: streaming sessionization ------------------------
+
+SESSION_STATE_SCHEMA = "session_start timestamp, last_ts timestamp, n_events int, session_no int"
+SESSION_OUT_SCHEMA = (
+    "user_id string, session_no int, n_events int, "
+    "session_start timestamp, session_end timestamp, closed boolean"
+)
+
+
+def _sessionize_state_fn(gap_seconds: int):
+    """applyInPandasWithState kernel: per-user open-session state, emit a
+    closed-session row when the gap exceeds ``gap_seconds`` (or the event-
+    time timeout fires), plus the live session's running row."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            (start, last, n, sess_no) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_no": sess_no,
+                        "n_events": n,
+                        "session_start": start,
+                        "session_end": last,
+                        "closed": True,
+                    }
+                ]
+            )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            start, last, n, sess_no = state.get
+        else:
+            start = last = None
+            n, sess_no = 0, 0
+
+        out = []
+        for ts in rows["ts"]:
+            ts = ts.to_pydatetime()
+            if last is not None and (ts - last).total_seconds() > gap_seconds:
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "session_no": sess_no,
+                        "n_events": n,
+                        "session_start": start,
+                        "session_end": last,
+                        "closed": True,
+                    }
+                )
+                sess_no += 1
+                start, n = ts, 0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+
+        state.update((start, last, n, sess_no))
+        # event-time timeout: close the session if no event arrives within
+        # the gap past the watermark
+        state.setTimeoutTimestamp(
+            int(last.timestamp() * 1000) + gap_seconds * 1000
+        )
+        out.append(
+            {
+                "user_id": user_id,
+                "session_no": sess_no,
+                "n_events": n,
+                "session_start": start,
+                "session_end": last,
+                "closed": False,
+            }
+        )
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY §2.8 surface): per-user
+    sessionization via ``applyInPandasWithState`` — open sessions live in
+    the state store (checkpointed, resumable), close on gap or event-time
+    timeout.  The batch analog is plans/queries.py:events_sessionized; the
+    session-cut semantics match it (gap > gap_seconds starts a new one).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_state_fn(gap_seconds),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -49,3 +49,80 @@ def test_stream_events_foreachbatch_and_resume(spark, tmp_path):
     q2 = stream_events(spark, events_dir, ckpt, on_batch)
     q2.awaitTermination(120)
     assert sum(n for _, n in seen) == 1
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions split on the gap and
+    survive across micro-batches via the checkpointed state store."""
+    import json as _json
+    import time
+
+    from ta2_minmod_kg_spark.streaming.events import sessionize_stream
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # batch 1: u1 two events 10s apart (one session), u2 one event
+    write_batch(
+        "b1.json",
+        [
+            {"user_id": "u1", "ts": "2026-01-01T10:00:00"},
+            {"user_id": "u1", "ts": "2026-01-01T10:00:10"},
+            {"user_id": "u2", "ts": "2026-01-01T10:00:05"},
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .json(str(src))
+    )
+    out_dir = str(tmp_path / "sessions_out")
+    sessions = sessionize_stream(stream, gap_seconds=60, watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch 2: u1 event 2 minutes later → previous session closes, new opens
+    write_batch(
+        "b2.json",
+        [
+            {"user_id": "u1", "ts": "2026-01-01T10:02:30"},
+            {"user_id": "u1", "ts": "2026-01-01T10:02:40"},
+        ],
+    )
+    q2 = (
+        sessionize_stream(
+            spark.readStream.schema("user_id string, ts timestamp").json(str(src)),
+            gap_seconds=60,
+            watermark="0 seconds",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)  # SAME checkpoint → state resumes
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).toPandas()
+    u1 = rows[rows.user_id == "u1"].sort_values(["session_no", "closed"])
+    # session 0 was reported live (2 events) in batch 1, then closed by the
+    # gap in batch 2; session 1 is the new live session with 2 events
+    closed0 = u1[(u1.session_no == 0) & u1.closed]
+    assert len(closed0) == 1 and int(closed0.n_events.iloc[0]) == 2
+    live1 = u1[(u1.session_no == 1) & ~u1.closed]
+    assert len(live1) == 1 and int(live1.n_events.iloc[0]) == 2
+    assert (rows[rows.user_id == "u2"].n_events == 1).all()
