@@ -590,15 +590,15 @@ def _merge_big_groups_sql(narrow: DataFrame) -> DataFrame:
     ranked_sites / deposit-type lists are collected as *narrow* structs
     (3-4 scalar fields), so even a 10^6-member group aggregates to a few
     tens of MB on the reducer, not the full wide rows.
-    """
-    from pyspark.sql import Window
 
+    No window function anywhere: ``rk`` (the SiteScore struct, a total
+    order ending in site_id) stands in for the rank index everywhere the
+    kernel uses one — rank ascending == rk descending — so the plan is
+    pure partial aggregates and a mega-group's wide rows never sort in a
+    single task.
+    """
     key = _rank_key_col()
-    w = Window.partitionBy("dedup_site_id").orderBy(F.desc("rk"))
-    df = (
-        narrow.withColumn("rk", key)
-        .withColumn("rank_i", F.row_number().over(w) - 1)
-    )
+    df = narrow.withColumn("rk", key)
 
     def ref_first(col, cond=None):
         """max_by rank → kernel's first-non-null over ranked order."""
@@ -646,12 +646,20 @@ def _merge_big_groups_sql(narrow: DataFrame) -> DataFrame:
             for sub in ("type", "unit")
         ],
         F.max_by(F.col("site_id"), F.col("rk")).alias("_top_site"),
-        F.array_sort(
-            F.collect_list(
-                F.struct("rank_i", "site_id", "score", "is_expert")
-            )
+        F.collect_list(
+            F.struct("rk", "site_id", "score", "is_expert")
         ).alias("_ranked_raw"),
         F.max("modified_at").alias("modified_at"),
+    )
+    # sort the collected narrow structs by rk DESC (== rank ascending)
+    agg = agg.withColumn(
+        "_ranked_raw",
+        F.array_sort(
+            F.col("_ranked_raw"),
+            lambda a, b: F.when(a["rk"] > b["rk"], -1)
+            .when(a["rk"] < b["rk"], 1)
+            .otherwise(0),
+        ),
     )
 
     def rock_struct(rock):
@@ -718,14 +726,14 @@ def _merge_big_groups_sql(narrow: DataFrame) -> DataFrame:
         df.select(
             "dedup_site_id",
             "site_id",
-            "rank_i",
+            "rk",
             F.posexplode_outer("deposit_type_candidates").alias("j", "dt"),
         )
         .filter(F.col("dt.normalized_uri").isNotNull())
         .select(
             "dedup_site_id",
             "site_id",
-            "rank_i",
+            "rk",
             "j",
             F.replace(F.col("dt.normalized_uri"), F.lit(MR_NS), F.lit("")).alias(
                 "dt_id"
@@ -735,14 +743,30 @@ def _merge_big_groups_sql(narrow: DataFrame) -> DataFrame:
         )
     )
     per_dt = cands.groupBy("dedup_site_id", "dt_id").agg(
-        # winner: max (conf, -rank_i); strict-greater replaces, so among
-        # equal keys (same site, same conf) the smallest candidate index wins
+        # winner: max (conf, rank-asc == rk-desc); strict-greater replaces,
+        # so among equal keys (same site, same conf) the smallest candidate
+        # index wins (nj = -j)
         F.max_by(
             F.struct("source", F.col("conf").alias("confidence"), F.col("site_id").alias("refid")),
-            F.struct("conf", (-F.col("rank_i")).alias("nr"), (-F.col("j")).alias("nj")),
+            F.struct("conf", F.col("rk"), (-F.col("j")).alias("nj")),
         ).alias("best"),
-        F.max(F.struct("conf", (-F.col("rank_i")).alias("nr"))).alias("order_key"),
-        F.min(F.struct("rank_i", "j")).alias("first_seen"),
+        # best occurrence for ordering: max conf, then highest-ranked site
+        F.max(F.struct("conf", F.col("rk"))).alias("order_key"),
+        # first occurrence in ranked order: highest rk, then smallest j
+        F.max(F.struct(F.col("rk"), (-F.col("j")).alias("nj"))).alias("first_seen"),
+    )
+    # kernel order: conf DESC, best-occurrence rank ASC (rk DESC),
+    # first-seen rank ASC (rk DESC), first-seen candidate index ASC
+    _dt_cmp = lambda a, b: (
+        F.when(a["conf"] > b["conf"], -1)
+        .when(a["conf"] < b["conf"], 1)
+        .when(a["brk"] > b["brk"], -1)
+        .when(a["brk"] < b["brk"], 1)
+        .when(a["frk"] > b["frk"], -1)
+        .when(a["frk"] < b["frk"], 1)
+        .when(a["fj"] < b["fj"], -1)
+        .when(a["fj"] > b["fj"], 1)
+        .otherwise(0)
     )
     dts = per_dt.groupBy("dedup_site_id").agg(
         F.slice(
@@ -750,15 +774,15 @@ def _merge_big_groups_sql(narrow: DataFrame) -> DataFrame:
                 F.array_sort(
                     F.collect_list(
                         F.struct(
-                            # ascending sort == kernel's (key desc, insertion order)
-                            (-F.col("order_key.conf")).alias("s0"),
-                            (-F.col("order_key.nr")).alias("s1"),
-                            F.col("first_seen.rank_i").alias("s2"),
-                            F.col("first_seen.j").alias("s3"),
+                            F.col("order_key.conf").alias("conf"),
+                            F.col("order_key.rk").alias("brk"),
+                            F.col("first_seen.rk").alias("frk"),
+                            (-F.col("first_seen.nj")).alias("fj"),
                             F.col("dt_id").alias("id"),
                             F.col("best").alias("best"),
                         )
-                    )
+                    ),
+                    _dt_cmp,
                 ),
                 lambda x: F.struct(
                     x["id"].alias("id"),

@@ -85,6 +85,17 @@ def test_sql_mega_group_path_matches_kernel_exactly(spark):
     swd.unpersist()
 
 
+def test_sql_mega_group_plan_has_no_window(spark):
+    """Scale guard (VERDICT r02 #1): the mega-group path must be pure
+    partial aggregates — no window function, which would sort a whole
+    mega-group's wide rows inside one task."""
+    swd = _swd(spark, 120)
+    sql = dedup._merge_big_groups_sql(dedup.with_site_score(swd))
+    plan = sql._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    swd.unpersist()
+
+
 def test_dispatch_routes_giant_group(spark):
     """With the threshold below the planted giant cluster, the dispatch
     splits the plan (big groups → SQL path) yet the merged output is
