@@ -163,13 +163,18 @@ RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 SKOS_ALT_LABEL = "http://www.w3.org/2004/02/skos/core#altLabel"
 MO_ALIASES = "https://minmod.isi.edu/ontology/aliases"
 
-_TTL_UNESCAPES = [
-    ("\\n", "\n"),
-    ("\\r", "\r"),
-    ("\\t", "\t"),
-    ('\\"', '"'),
-    ("\\\\", "\\"),
-]
+_TTL_ESC_MAP = {"n": "\n", "r": "\r", "t": "\t", '"': '"', "\\": "\\"}
+
+
+def _ttl_unescape(lex: str) -> str:
+    """Single left-to-right unescape pass.  Sequential str.replace in any
+    order corrupts literals containing backslashes (e.g. written '\\\\n'
+    reads back as backslash+newline)."""
+    import re
+
+    return re.sub(
+        r"\\(.)", lambda m: _TTL_ESC_MAP.get(m.group(1), m.group(1)), lex
+    )
 
 
 def _read_prefixes(spark, path: str) -> dict[str, str]:
@@ -225,14 +230,20 @@ def read_ttl_triples(spark, path: str) -> DataFrame:
 
     def parse_obj(o: str) -> tuple[str | None, str | None]:
         if o.startswith('"'):
-            # strip ^^datatype / @lang suffix after the closing quote
-            end = len(o) - 1
-            while end > 0 and not (o[end] == '"' and o[end - 1] != "\\"):
-                end -= 1
-            lex = o[1:end]
-            for esc, ch in _TTL_UNESCAPES:
-                lex = lex.replace(esc, ch)
-            return None, lex
+            # forward scan for the first UNESCAPED closing quote (skipping
+            # \x pairs) — a backward scan checking o[end-1] != '\\' misreads
+            # literals that end in an escaped backslash ('...\\"'); any
+            # ^^datatype / @lang suffix after the quote is stripped
+            i, n = 1, len(o)
+            while i < n:
+                c = o[i]
+                if c == "\\":
+                    i += 2
+                    continue
+                if c == '"':
+                    break
+                i += 1
+            return None, _ttl_unescape(o[1:i])
         return expand(o), None
 
     def fn(batches):

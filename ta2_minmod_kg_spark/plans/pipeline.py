@@ -41,16 +41,22 @@ CODE_VERSION = "v2"
 N_BUCKETS_DEFAULT = 256
 
 
-def _clear_partitions(out_path: str, buckets: list[int]) -> None:
+def _clear_partitions(
+    spark: SparkSession, out_path: str, buckets: list[int]
+) -> None:
     """Delete ``bucket=<b>`` partition directories ahead of a dynamic
     partition overwrite, so dirty buckets that emit no rows don't leave
-    stale data behind."""
-    import shutil
-
+    stale data behind.  Routed through the Hadoop FileSystem API so it
+    works on ANY workdir scheme (HDFS, object stores) — a local
+    shutil.rmtree would silently no-op there and resurrect the stale
+    partitions this helper exists to remove."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for b in buckets:
-        p = os.path.join(out_path, f"bucket={b}")
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(out_path, f"bucket={b}"))
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -112,6 +118,7 @@ class Lineage:
             "stage": stage,
             "run_id": self.run_id,
             "code_version": CODE_VERSION,
+            "config": self.config,
             "input_fingerprint": input_fingerprint,
             "output_fingerprint": self.fingerprint(per_bucket),
             "wall_ms": wall_ms,
@@ -203,6 +210,12 @@ class KGPipeline:
             and changed_buckets is not None
             and old_meta is not None
             and old_meta.get("code_version") == CODE_VERSION
+            # the previous run must have used the SAME output-affecting
+            # config: otherwise only content-dirty buckets would be rebuilt
+            # under the new config while clean buckets keep old-config rows,
+            # and the recorded fingerprint would claim the whole table
+            # matches the new config — a permanently mixed-config table
+            and old_meta.get("config") == self.lineage.config
             and os.path.exists(os.path.join(out_path, "_SUCCESS"))
             and 0 < len(changed_buckets)
         )
@@ -219,7 +232,7 @@ class KGPipeline:
             # emits — a changed bucket that now produces ZERO rows (all its
             # files deleted) would keep its stale partition. Clear every
             # dirty partition first; the write rebuilds the non-empty ones.
-            _clear_partitions(out_path, changed_buckets)
+            _clear_partitions(self.spark, out_path, changed_buckets)
             (
                 df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -294,7 +307,7 @@ class KGPipeline:
                 if buckets is None:
                     df.write.mode("overwrite").partitionBy("bucket").parquet(p)
                 else:
-                    _clear_partitions(p, buckets)
+                    _clear_partitions(self.spark, p, buckets)
                     (
                         df.write.mode("overwrite")
                         .option("partitionOverwriteMode", "dynamic")

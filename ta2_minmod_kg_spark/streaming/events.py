@@ -210,10 +210,18 @@ def _sessionize_state_fn(gap_seconds: int):
 
         state.update((start, last, n, sess_no))
         # event-time timeout: close the session if no event arrives within
-        # the gap past the watermark
-        state.setTimeoutTimestamp(
-            int(last.timestamp() * 1000) + gap_seconds * 1000
+        # the gap past the watermark.  The pandas timestamps are tz-naive
+        # UTC wall times — naive datetime.timestamp() would reinterpret
+        # them in the host's local timezone, shifting the timeout by the
+        # UTC offset on non-UTC hosts; calendar.timegm treats the tuple as
+        # UTC unconditionally.
+        import calendar
+
+        epoch_ms = (
+            calendar.timegm(last.timetuple()) * 1000
+            + last.microsecond // 1000
         )
+        state.setTimeoutTimestamp(epoch_ms + gap_seconds * 1000)
         out.append(
             {
                 "user_id": user_id,

@@ -264,3 +264,46 @@ def test_zz5_config_change_invalidates_fingerprint(spark, tmp_path):
     assert not pipe2.metrics["triples"]["skipped"], (
         "include_extra_triples change must invalidate the triples stage"
     )
+
+
+def test_zz6_config_change_with_content_change_full_rebuild(spark, tmp_path):
+    """A config change coinciding with a content change in ≥1 bucket must
+    force a FULL rebuild — the incremental path would rebuild only the
+    content-dirty buckets under the new config while clean buckets keep
+    old-config rows, yielding a permanently mixed-config table
+    (ADVICE r02 #1)."""
+    wd = str(tmp_path / "wd_cfg_mix")
+    ingest = synthetic.synthesize_ingest(spark, 40, partitions=4)
+    vdfs = vocab.vocab_dataframes(spark)
+
+    pipe1 = KGPipeline(spark, wd, n_buckets=8, include_extra_triples=False)
+    pipe1.run(ingest, vdfs)
+    n_plain = spark.read.parquet(os.path.join(wd, "triples")).count()
+
+    # edit one record AND flip the config in the same run
+    target = ingest.select("path").first()["path"]
+    ingest2 = ingest.withColumn(
+        "content",
+        F.when(
+            F.col("path") == target,
+            F.regexp_replace("content", r'"name": "[^"]*"', '"name": "EDITED"'),
+        ).otherwise(F.col("content")),
+    )
+    pipe2 = KGPipeline(spark, wd, n_buckets=8, include_extra_triples=True)
+    out = pipe2.run(ingest2, vdfs)
+    m = pipe2.metrics["triples"]
+    assert m["skipped"] is False and m["incremental_buckets"] is None, (
+        "config change must disable the incremental path",
+        m,
+    )
+    # every bucket now carries new-config rows: a reference full run under
+    # the new config in a fresh workdir produces the same triple count
+    wd_ref = str(tmp_path / "wd_cfg_ref")
+    pipe_ref = KGPipeline(spark, wd_ref, n_buckets=8, include_extra_triples=True)
+    out_ref = pipe_ref.run(ingest2, vdfs)
+    n_mixed = out["triples"].count()
+    assert n_mixed == out_ref["triples"].count() != n_plain
+    # and a subsequent identical run skips (fingerprint now consistent)
+    pipe3 = KGPipeline(spark, wd, n_buckets=8, include_extra_triples=True)
+    pipe3.run(ingest2, vdfs)
+    assert pipe3.metrics["triples"]["skipped"] is True

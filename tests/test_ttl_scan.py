@@ -38,6 +38,33 @@ def test_ttl_roundtrip(spark, entity_ttl):
     assert nickel["obj_literal"] == "Nickel" and nickel["obj_uri"] is None
 
 
+def test_ttl_roundtrip_hostile_literals(spark, tmp_path):
+    """Backslash-bearing literals must survive write→read exactly
+    (ADVICE r02 #2: sequential-replace unescape and the backward
+    closing-quote scan both corrupted them)."""
+    hostile = [
+        "back\\slash",          # literal backslash + 'n'-adjacent char
+        "ends with backslash\\",
+        'quote " inside',
+        "tab\there",
+        "multi\nline",
+        "\\n not a newline",    # written as '\\\\n': backslash then 'n'
+        'trailing escaped backslash then quote \\"ok',
+    ]
+    from ta2_minmod_kg_spark.functions.rdf import lit_str
+
+    path = str(tmp_path / "hostile.ttl")
+    rows = [(f"<{MR}H{i}>", f"<{RDFS_LABEL}>", lit_str(s)) for i, s in enumerate(hostile)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    write_ttl(df, path)
+    got = {
+        r["subj"]: r["obj_literal"]
+        for r in read_ttl_triples(spark, path).collect()
+    }
+    for i, s in enumerate(hostile):
+        assert got[f"{MR}H{i}"] == s, (i, s, got.get(f"{MR}H{i}"))
+
+
 def test_ttl_docs_match_csv_docs(spark, entity_ttl):
     v = synthetic_vocab()
     docs = {d["id"]: d for d in vocab_docs_from_ttl(spark, entity_ttl)}
