@@ -60,18 +60,47 @@ def parse_sites(ingest: DataFrame) -> DataFrame:
     )
 
 
-def split_violations(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """P5/P6 structural validation as column predicates:
-    required idents present, exactly one site-level reference
-    (ref validators.py:44-54), filename charset rule on ``path``."""
-    ok = (
+def split_violations(
+    parsed: DataFrame, constrained: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """P5/P6 validation.
+
+    Structural rules as JVM column predicates: required idents present,
+    exactly one site-level reference (ref validators.py:44-54), filename
+    charset rule on ``path``.  With ``constrained=True`` (the default and
+    the reference-parity behavior) the raw JSON additionally passes the
+    reference's constrained-type tree (CleanedNotEmptyStr,
+    confidence ∈ [0,1], URL-valid IRIs, numeric measures —
+    operators/constrained.py, oracle-tested against the reference's
+    executed deserializer).  The bad side carries a ``violation_reason``
+    column: the failing field path, or 'structural'.
+    """
+    from .constrained import constrained_error_udf
+
+    struct_ok = (
         F.col("site.source_id").isNotNull()
         & F.col("site.record_id").isNotNull()
         & F.col("site.created_by").isNotNull()
         & (F.size(F.coalesce(F.col("site.reference"), F.array())) == 1)
         & F.col("path").rlike(r"^[a-zA-Z0-9_\-,./]+$")
     )
-    return parsed.filter(ok), parsed.filter(~ok)
+    if not constrained:
+        return (
+            parsed.filter(struct_ok),
+            parsed.filter(~struct_ok).withColumn(
+                "violation_reason", F.lit("structural")
+            ),
+        )
+    tagged = parsed.withColumn(
+        "violation_reason",
+        F.when(~struct_ok, F.lit("structural")).otherwise(
+            constrained_error_udf(F.col("content"))
+        ),
+    )
+    ok_df = tagged.filter(F.col("violation_reason").isNull()).drop(
+        "violation_reason"
+    )
+    return ok_df, tagged.filter(F.col("violation_reason").isNotNull())
 
 
 # -- Arrow-vectorized kernels -------------------------------------------------
@@ -121,12 +150,17 @@ def _merc_inverse(x: float, y: float) -> tuple[float, float]:
 def _wkt_centroid(wkt: str | None, crs_name: str | None) -> tuple[float | None, float | None]:
     """Centroid in EPSG:4326 (ref kgrel/custom_types/location.py:115-150).
 
-    POINT is handled natively; EPSG:3857 points are reprojected inline
-    (pure math, no pyproj needed); richer geometries use shapely when
-    available.  CRS outside {4326, 3857} → (None, None) here, AND the
-    record is surfaced in the vocab_violations table by
-    operators/validation.py:location_crs_violations — never a silent drop.
+    POINT is handled natively; projected-CRS points reproject inline via
+    the pure-math transforms in functions/geo.py — the reference's own
+    crs.csv vocabulary (4326, 4267, 3857, NAD83 UTM 269xx, Oregon
+    Lambert 2994) plus all WGS84 UTM zones.  Richer geometries use
+    shapely when available.  An unsupported CRS → (None, None) here, AND
+    the record is surfaced in the vocab_violations table by
+    operators/validation.py:location_crs_violations — never a silent
+    drop.
     """
+    from ..functions import geo as _geo
+
     if wkt is None or "nan" in wkt.lower():
         return None, None
     crs = crs_name or "EPSG:4326"
@@ -140,16 +174,18 @@ def _wkt_centroid(wkt: str | None, crs_name: str | None) -> tuple[float | None, 
             return None, None
         if crs == "EPSG:4326":
             return y, x
-        if crs == "EPSG:3857":
-            return _merc_inverse(x, y)
+        if _geo.is_supported_crs(crs):
+            lon, lat = _geo.point_to_wgs84(x, y, crs)
+            return lat, lon
         return None, None
     if _HAVE_SHAPELY:  # pragma: no cover
         try:
             c = _shapely_wkt.loads(wkt).centroid
             if crs == "EPSG:4326":
                 return c.y, c.x
-            if crs == "EPSG:3857":
-                return _merc_inverse(c.x, c.y)
+            if _geo.is_supported_crs(crs):
+                lon, lat = _geo.point_to_wgs84(c.x, c.y, crs)
+                return lat, lon
         except Exception:
             return None, None
     return None, None

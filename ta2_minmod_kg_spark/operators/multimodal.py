@@ -56,6 +56,74 @@ def synth_assets(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
     return spark.range(0, n, 1, partitions).mapInPandas(gen, ASSET)
 
 
+def encode_bmp(w: int, h: int, rgb) -> bytes:
+    """Minimal 24-bit BMP writer (bottom-up rows, 4-byte row padding) —
+    deterministic real payloads for tests/bench; ``rgb(x, y)`` → (r, g, b)."""
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        for x in range(w):
+            r, g, b = rgb(x, y)
+            body += bytes((b, g, r))
+        body += b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + dib + bytes(body)
+
+
+def encode_ppm(w: int, h: int, rgb) -> bytes:
+    """Binary PPM (P6) writer."""
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body.extend(rgb(x, y))
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(body)
+
+
+def synth_real_assets(
+    spark: SparkSession, n: int, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL-bytes asset table: alternating 24-bit BMP and
+    binary-PPM payloads with an index-derived gradient pattern — the
+    driver-visible input for ``mm_image_stats`` (decoded by the real
+    codecs, not the fake header path)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 16 + (i * 5) % 48, 16 + (i * 3) % 32
+
+                def rgb(x, y, i=i):
+                    return (
+                        (x * 7 + i) % 256,
+                        (y * 11 + 2 * i) % 256,
+                        (x + y + 3 * i) % 256,
+                    )
+
+                fmt = "bmp" if i % 2 == 0 else "ppm"
+                payload = (
+                    encode_bmp(w, h, rgb) if fmt == "bmp" else encode_ppm(w, h, rgb)
+                )
+                rows.append(
+                    {
+                        "asset_id": f"real-{i:08d}",
+                        "kind": "image",
+                        "payload": payload,
+                        "meta": {"w": str(w), "h": str(h), "format": fmt},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, ASSET)
+
+
 def _decode_fake(payload: bytes) -> tuple[int, int, np.ndarray]:
     assert payload[:8] == _MAGIC, "not a fake payload"
     w, h, seed = struct.unpack("<IIQ", payload[8:24])

@@ -123,7 +123,11 @@ def allowed_uris(vocab: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
-SUPPORTED_CRS = ("EPSG:4326", "EPSG:3857")
+from ..functions.geo import supported_crs_names
+
+# every CRS the inline reprojection handles (functions/geo.py) — the
+# reference's crs.csv vocabulary is a strict subset
+SUPPORTED_CRS = tuple(supported_crs_names())
 
 
 def location_crs_violations(

@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CODE_VERSION = "v2"
+CODE_VERSION = "v3"  # r3: projected-CRS corpus slices + window-free mega merge
 N_BUCKETS_DEFAULT = 256
 
 
@@ -316,7 +316,14 @@ class KGPipeline:
                     )
 
             write_side(
-                bad.select("repo", "path", "commit", "content_sha256", "bucket"),
+                bad.select(
+                    "repo",
+                    "path",
+                    "commit",
+                    "content_sha256",
+                    "violation_reason",
+                    "bucket",
+                ),
                 "violations",
             )
             # P7: out-of-vocabulary normalized_uri rows (validators.py:354-419)

@@ -194,12 +194,45 @@ def make_record(n: int, n_sites: int, expert: bool = False) -> dict:
     if _choice(n, 32, 6) == 0:
         rec["discovered_year"] = 1850 + _choice(n, 33, 170)
 
-    # location: most sites have one; a few have the broken "nan" WKT
+    # location: most sites have one; a few have the broken "nan" WKT.
+    # A deterministic slice of system sites reports in a projected /
+    # non-WGS84 CRS (the reference's own crs.csv vocabulary) — their
+    # POINTs are the forward projection of a lon/lat inside the CRS's
+    # validity area, so extraction must invert them (P3).
     loc_kind = _choice(n, 9, 20)
+    crs_qid, crs_label = "Q1700", "WGS 84"
     if loc_kind < 17 or expert:
         lon = -180.0 + (_mix(n, 10) % 3_600_000) / 10_000.0
         lat = -90.0 + (_mix(n, 11) % 1_800_000) / 10_000.0
-        wkt = f"POINT ({lon:.4f} {lat:.4f})"
+        crs_pick = _choice(n, 34, 16) if not expert else 16
+        if crs_pick == 8:  # web mercator (clamped to its validity band)
+            from ..functions.geo import _crs_transforms
+
+            lat = max(-85.0, min(85.0, lat))
+            x, y = _crs_transforms("EPSG:3857")[0](lon, lat)
+            wkt = f"POINT ({x:.6f} {y:.6f})"
+            crs_qid, crs_label = "Q1701", "EPSG:3857"
+        elif crs_pick == 9:  # NAD27 geographic
+            wkt = f"POINT ({lon:.4f} {lat:.4f})"
+            crs_qid, crs_label = "Q1702", "NAD27"
+        elif crs_pick == 10:  # NAD83 / UTM zone 12N
+            from ..functions.geo import _crs_transforms
+
+            lon = -114.0 + (_mix(n, 10) % 60_000) / 10_000.0
+            lat = 30.0 + (_mix(n, 11) % 300_000) / 10_000.0
+            x, y = _crs_transforms("EPSG:26912")[0](lon, lat)
+            wkt = f"POINT ({x:.4f} {y:.4f})"
+            crs_qid, crs_label = "Q1703", "EPSG:26912"
+        elif crs_pick == 11:  # NAD83(HARN) / Oregon GIC Lambert (ft)
+            from ..functions.geo import _crs_transforms
+
+            lon = -124.0 + (_mix(n, 10) % 70_000) / 10_000.0
+            lat = 42.0 + (_mix(n, 11) % 40_000) / 10_000.0
+            x, y = _crs_transforms("EPSG:2994")[0](lon, lat)
+            wkt = f"POINT ({x:.4f} {y:.4f})"
+            crs_qid, crs_label = "Q1704", "EPSG:2994"
+        else:
+            wkt = f"POINT ({lon:.4f} {lat:.4f})"
     elif loc_kind == 17:
         wkt = "POINT (nan nan)"  # ref location.py:115 skips these
     else:
@@ -207,7 +240,7 @@ def make_record(n: int, n_sites: int, expert: bool = False) -> dict:
     loc = {}
     if wkt is not None:
         loc["location"] = wkt
-        loc["crs"] = _ce("algo-v1", 0.99, "WGS 84", MR + "Q1700")
+        loc["crs"] = _ce("algo-v1", 0.99, crs_label, MR + crs_qid)
     if _choice(n, 12, 10) != 9:
         loc["country"] = [
             _ce(

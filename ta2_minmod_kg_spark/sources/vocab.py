@@ -185,9 +185,14 @@ def synthetic_vocab() -> dict[str, list[dict]]:
         }
         for i, (n, f, ci, conv) in enumerate(MATERIAL_FORMS)
     ]
+    # mirrors the reference's own crs.csv vocabulary
+    # (tests/resources/kgdata/entities/crs.csv: 4326/4267/3857/26912/2994)
     crs = [
         {"minmod_id": "Q1700", "name": "EPSG:4326"},
         {"minmod_id": "Q1701", "name": "EPSG:3857"},
+        {"minmod_id": "Q1702", "name": "EPSG:4267"},
+        {"minmod_id": "Q1703", "name": "EPSG:26912"},
+        {"minmod_id": "Q1704", "name": "EPSG:2994"},
     ]
     data_source = [
         {

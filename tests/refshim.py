@@ -287,9 +287,11 @@ def load_reference() -> SimpleNamespace:
     mineral_site = importlib.import_module("minmodkg.models.kg.mineral_site")
     transformations = importlib.import_module("minmodkg.transformations")
     grade_tonnage = importlib.import_module("minmodkg.grade_tonnage_model")
+    deserializer = importlib.import_module("minmodkg.misc.deserializer")
     _REF_CACHE = SimpleNamespace(
         mineral_site=mineral_site,
         transformations=transformations,
         grade_tonnage=grade_tonnage,
+        deserializer=deserializer,
     )
     return _REF_CACHE

@@ -108,7 +108,10 @@ def test_merc_inverse_golden():
     lat, lon = _wkt_centroid("POINT (-8237642.318702244 4970071.579142425)", "EPSG:3857")
     assert abs(lon - (-74.0)) < 1e-9 and abs(lat - 40.7128) < 1e-6
     # unknown CRS still yields nulls here (violation row emitted separately)
-    assert _wkt_centroid("POINT (1 2)", "EPSG:32633") == (None, None)
+    assert _wkt_centroid("POINT (1 2)", "EPSG:27700") == (None, None)
+    # UTM / Oregon Lambert points reproject inline now
+    lat, lon = _wkt_centroid("POINT (500000 4982950.4)", "EPSG:26912")
+    assert abs(lon - (-111.0)) < 1e-6 and abs(lat - 45.0) < 1e-6
 
 
 def test_3857_location_reprojected_in_normalize(spark):
@@ -137,6 +140,54 @@ def test_3857_location_reprojected_in_normalize(spark):
     from ta2_minmod_kg_spark.operators.validation import location_crs_violations
 
     assert location_crs_violations(parsed, vocab.vocab_dataframes(spark)).count() == 0
+
+
+def test_projected_crs_corpus_slice_reprojects_not_quarantined(spark):
+    """The synthetic corpus's UTM-12N / Oregon-Lambert / NAD27 / 3857
+    slices (the reference's own crs.csv set) must yield coordinates in
+    normalize — matching the inverse projection — and must NOT land in
+    the CRS violations table (VERDICT r02 #2)."""
+    from ta2_minmod_kg_spark.functions import geo
+    from ta2_minmod_kg_spark.operators.validation import location_crs_violations
+
+    ingest = synthetic.synthesize_ingest(spark, 400, partitions=4)
+    parsed, _ = extract.split_violations(extract.parse_sites(ingest))
+    vdfs = vocab.vocab_dataframes(spark)
+    assert location_crs_violations(parsed, vdfs).count() == 0
+
+    MR = "https://minmod.isi.edu/resource/"
+    qid_to_name = {
+        MR + "Q1701": "EPSG:3857",
+        MR + "Q1702": "EPSG:4267",
+        MR + "Q1703": "EPSG:26912",
+        MR + "Q1704": "EPSG:2994",
+    }
+    sites = extract.normalize_sites(parsed, vdfs)
+    got = sites.select(
+        "site_id",
+        "location_wkt",
+        sites["location_crs"]["normalized_uri"].alias("crs_uri"),
+        "lat",
+        "lon",
+    ).toPandas()
+    by_crs = got.groupby("crs_uri").size().to_dict()
+    # every projected CRS actually appears in the corpus
+    for uri in qid_to_name:
+        assert by_crs.get(uri, 0) > 0, (uri, by_crs)
+    import re
+
+    pt = re.compile(r"POINT \(([-\d.e+]+) ([-\d.e+]+)\)")
+    checked = 0
+    for _, r in got.iterrows():
+        name = qid_to_name.get(r["crs_uri"])
+        if name in ("EPSG:26912", "EPSG:2994") and r["location_wkt"]:
+            m = pt.match(r["location_wkt"])
+            lon, lat = geo.point_to_wgs84(
+                float(m.group(1)), float(m.group(2)), name
+            )
+            assert abs(r["lat"] - lat) < 1e-9 and abs(r["lon"] - lon) < 1e-9
+            checked += 1
+    assert checked > 0
 
 
 def test_unsupported_crs_routed_to_violations(spark):
