@@ -504,5 +504,25 @@ def dedup_sites_json(out: dict[str, DataFrame]) -> dict:
 
 
 def write_dedup_sites_json(out: dict[str, DataFrame], path: str) -> None:
-    with open(path, "w") as f:
-        json.dump(dedup_sites_json(out), f)
+    """K2: the merged document.  A ``.lz4`` path writes the reference's
+    compressed layout (`etl/mineral_site.py:30,357-365`) via
+    functions/lz4frame.py — the real lz4 package when importable, else a
+    spec-conformant stored-block frame (documented there)."""
+    doc = json.dumps(dedup_sites_json(out))
+    if path.endswith(".lz4"):
+        from ..functions.lz4frame import compress
+
+        with open(path, "wb") as f:
+            f.write(compress(doc.encode("utf-8")))
+    else:
+        with open(path, "w") as f:
+            f.write(doc)
+
+
+def read_dedup_sites_json(path: str) -> dict:
+    """Read back both layouts (plain and .lz4)."""
+    if path.endswith(".lz4"):
+        from ..functions.lz4frame import decompress
+
+        return json.loads(decompress(open(path, "rb").read()).decode("utf-8"))
+    return json.load(open(path))

@@ -486,6 +486,11 @@ def main(argv=None):
 
         os.makedirs(os.path.join(args.workdir, "kgrel"), exist_ok=True)
         write_dedup_sites_jsonl(out, os.path.join(args.workdir, "kgrel"))
+        # the reference ships the compressed layout by default
+        # (etl/mineral_site.py:30: COMPRESSION = ".lz4")
+        write_dedup_sites_json(
+            out, os.path.join(args.workdir, "kgrel", "dedup_sites.json.lz4")
+        )
         write_dedup_sites_json(
             out, os.path.join(args.workdir, "kgrel", "dedup_sites.json")
         )

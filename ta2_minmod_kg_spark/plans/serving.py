@@ -142,3 +142,56 @@ def describe_resource(triples: DataFrame, subj: str, hops: int = 1) -> DataFrame
         frontier = triples.join(objs, "subj", "left_semi")
         out = out.unionByName(frontier).distinct()
     return out.select("subj", "pred", "obj")
+
+
+# the reference's CONSTRUCT path expression excludes these from traversal
+# (kgsync_listener.py:103-118): `<uri> (!(owl:sameAs|rdf:type|
+# mo:normalized_uri))* ?s` — and owl:sameAs triples are excluded from the
+# result entirely
+LOD_NO_FOLLOW = ("owl:sameAs", "rdf:type", "mo:normalized_uri")
+
+
+def lod_closure(triples: DataFrame, subj: str, max_iters: int = 64) -> DataFrame:
+    """Q4 full LOD dereference: the reference's recursive CONSTRUCT
+    (`minmodkg/services/sync/kgsync_listener.py:103-118` /
+    `api/routers/lod.py` subgraph semantics) as an iterative
+    semi-join fixpoint:
+
+    - reachable set R: start at ``subj``, repeatedly follow (s, p, o)
+      edges with s ∈ R and p ∉ LOD_NO_FOLLOW until no new subject appears
+      (the monotone frontier set is the cycle guard);
+    - result: every triple whose subject ∈ R, minus owl:sameAs rows.
+
+    Each iteration is one semi-join + anti-join over the (narrow) edge
+    projection; site subgraphs are shallow (3-4 hops), so the loop runs a
+    handful of Spark jobs regardless of corpus size — reached-set size,
+    not corpus size, bounds the driver state (a single site's record
+    subgraph).
+    """
+    spark = triples.sparkSession
+    follow = (
+        triples.filter(~F.col("pred").isin(*LOD_NO_FOLLOW))
+        .select("subj", "obj")
+        .persist()
+    )
+    reached = spark.createDataFrame([(subj,)], "subj string")
+    frontier = reached
+    for _ in range(max_iters):
+        new = (
+            follow.join(frontier, "subj", "left_semi")
+            .select(F.col("obj").alias("subj"))
+            .distinct()
+            .join(reached, "subj", "left_anti")
+            .persist()
+        )
+        if new.count() == 0:
+            break
+        reached = reached.unionByName(new).persist()
+        frontier = new
+    follow.unpersist()
+    return (
+        triples.join(reached, "subj", "left_semi")
+        .filter(F.col("pred") != "owl:sameAs")
+        .select("subj", "pred", "obj")
+        .distinct()
+    )

@@ -37,10 +37,16 @@ pytestmark = pytest.mark.skipif(
 
 
 def _load_records():
+    from ta2_minmod_kg_spark.operators.constrained import constrained_type_error
+
     recs = []
     for f in sorted(FIXTURE_DIR.glob("*.json")):
         recs.extend(json.load(open(f)))
-    return recs
+    # the corpus contains two records the REFERENCE's own deserializer
+    # rejects (padded observed_name values) — split_violations now
+    # quarantines them identically (tests/test_constrained.py), so the
+    # export fixture works on the accepted subset
+    return [r for r in recs if constrained_type_error(r) is None]
 
 
 @pytest.fixture(scope="module")
@@ -156,3 +162,60 @@ def test_inventory_view_rows(exported):
             assert set(inv) <= {
                 "commodity", "contained_metal", "tonnage", "grade", "date",
             }
+
+
+def test_lz4_frame_codec_roundtrip():
+    """K2 compression parity (VERDICT r02 #10): spec-conformant LZ4 frame
+    write + full-decoder read; xxh32 empty-input vector pinned."""
+    from ta2_minmod_kg_spark.functions.lz4frame import (
+        _decode_block,
+        compress,
+        decompress,
+        xxh32,
+    )
+
+    assert xxh32(b"") == 0x02CC5D05  # published spec vector
+    for payload in (b"", b"x", b"hello world" * 1000, bytes(range(256)) * 999):
+        assert decompress(compress(payload)) == payload
+    # the block decoder handles real compressed sequences, incl. the
+    # RLE-style overlapping match (offset 1)
+    # literals "ab" then match(offset=1, len=8): "ab" + "b"*8
+    blk = bytes([0x24, ord("a"), ord("b"), 0x01, 0x00])
+    assert _decode_block(blk) == b"ab" + b"b" * 8
+
+
+def test_write_read_dedup_sites_json_both_layouts(exported, tmp_path, spark):
+    """write .json and .json.lz4; read back both; identical documents."""
+    from ta2_minmod_kg_spark.operators import (
+        canonicalize,
+        dedup,
+        extract,
+        grade_tonnage,
+    )
+    from ta2_minmod_kg_spark.plans.export import (
+        read_dedup_sites_json,
+        write_dedup_sites_json,
+    )
+    from ta2_minmod_kg_spark.sources import synthetic, vocab
+
+    ingest = synthetic.synthesize_ingest(spark, 30, partitions=2)
+    parsed, _ = extract.split_violations(extract.parse_sites(ingest))
+    vdfs = vocab.vocab_dataframes(spark)
+    sites = extract.normalize_sites(parsed, vdfs).persist()
+    membership = canonicalize.build_membership(sites, None, None)
+    swd = sites.drop("dedup_site_id").join(membership, "site_id").persist()
+    gt = grade_tonnage.grade_tonnage_view(extract.explode_inventories(sites, vdfs))
+    out = {
+        "sites_rel": swd,
+        "dedup_sites": dedup.merge_dedup_sites(swd),
+        "inv_views": gt,
+        "dedup_inventories": dedup.select_dedup_inventories(swd, gt),
+    }
+    plain = str(tmp_path / "dedup_sites.json")
+    packed = str(tmp_path / "dedup_sites.json.lz4")
+    write_dedup_sites_json(out, plain)
+    write_dedup_sites_json(out, packed)
+    a, b = read_dedup_sites_json(plain), read_dedup_sites_json(packed)
+    assert a == b and set(a) == set(SECTIONS) and len(a["MineralSite"]) >= 30
+    # the lz4 file is a real frame (magic) readable by any lz4 tool
+    assert open(packed, "rb").read(4) == b"\x04\x22\x4d\x18"
