@@ -66,10 +66,16 @@ def test_pure_python_surface_on_fixtures():
 
 def test_engine_end_to_end_on_fixtures(spark):
     ingest = _ingest_df(spark)
-    n = ingest.count()
     parsed = extract.parse_sites(ingest)
     ok, bad = extract.split_violations(parsed)
-    assert bad.count() == 0, bad.select("path").collect()
+    # the corpus contains exactly two records the REFERENCE's own
+    # deserializer rejects (padded observed_name strings) — the engine
+    # must quarantine the same two, no more (tests/test_constrained.py
+    # pins the per-record parity)
+    bad_rows = bad.select("violation_reason").collect()
+    assert len(bad_rows) == 2, bad_rows
+    assert all("observed_name" in r["violation_reason"] for r in bad_rows)
+    n = ingest.count() - 2
 
     vdfs = vocab.vocab_dataframes(spark)
     sites = extract.normalize_sites(ok, vdfs).persist()
