@@ -58,6 +58,7 @@ def test_kg_queries_no_arrow(vanilla):
         "kg_grade_tonnage",
         "kg_entity_linking",
         "kg_sameas_triples",
+        "mm_image_stats",  # r3: binary mapInPandas entry
     ):
         df = qs[name](vanilla, "/root/testdata/sf0.001")
         assert df.count() > 0, name
