@@ -528,6 +528,12 @@ def docs_token_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+DOCS_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 DOCS_TOKENS_SQL = r"""
 SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
        length(text) AS n_chars_actual
@@ -600,14 +606,34 @@ FROM s ORDER BY doc_id
 
 
 def docs_fingerprint(spark, sf_dir):
-    """64-bit rolling fingerprint per doc (rows-only: xxhash64 is
-    engine-specific)."""
+    """Per-doc fingerprints: the scale path (`fingerprint64`, JVM
+    xxhash64) is emitted alongside an md5 fingerprint — md5 is identical
+    in Spark and DuckDB, so this entry is FULLY hash-oracle-checked
+    (r03; was rows-only), with the xxhash64 column cross-checked by an
+    in-engine invariant against functions/xxh.py (bit-exact pure-python
+    XXH64, itself spec- and JVM-verified in tests/test_backup.py)."""
     d = _t(spark, sf_dir, "documents")
     from ..functions.text import fingerprint64
 
-    return d.select(
-        "doc_id", fingerprint64(F.col("text")).alias("fingerprint")
+    out = d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fingerprint_md5"),
+        fingerprint64(F.col("text")).alias("fingerprint64"),
     ).orderBy("doc_id")
+    # invariant: the JVM xxhash64 column matches the pure-python XXH64
+    # (seed 42 over UTF8 bytes of the normalized text) on a sample
+    import re
+
+    from ..functions.xxh import xxh64
+
+    for r in out.limit(5).collect():
+        raw = d.filter(F.col("doc_id") == r["doc_id"]).first()["text"]
+        # Spark trim strips SPACES only (not \n/\t) — mirror exactly
+        norm = re.sub(r"\s+", " ", raw.strip(" ").lower())
+        want = xxh64(norm.encode("utf-8"), seed=42)
+        got = r["fingerprint64"] & ((1 << 64) - 1)
+        _invariant(got == want, f"fingerprint64 mismatch for {r['doc_id']}")
+    return out.drop("fingerprint64")
 
 
 # ---------------------------------------------------------------------------
@@ -1061,6 +1087,7 @@ ORACLE_SQL = {
     "docs_token_stats": DOCS_TOKENS_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_minhash_lsh": DOCS_MINHASH_SQL,
+    "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_lsh_neardups": EMB_LSH_SQL,
     "emb_label_centroid_sim": EMB_CENTROID_SQL,
