@@ -528,6 +528,62 @@ def docs_token_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def docs_simhash_sig(spark, sf_dir):
+    """SimHash signature per doc over md5-derived 52-bit token hashes —
+    md5 is bit-identical in Spark and DuckDB, so unlike `docs_simhash`
+    (xxhash64, engine-specific, rows-only) this entry is FULLY
+    value-hash-checked by the driver: per-bit majority votes and the
+    assembled signature must match an independent engine exactly.
+
+    Shape: explode tokens → one JVM hash expr → groupBy(doc_id) with 52
+    conditional sums (the minhash lesson: N aggregates over exploded
+    rows, never N re-inlined array traversals)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    tok = d.select("doc_id", F.explode(F.split(norm, " ")).alias("w"))
+    hv = F.conv(F.substring(F.md5("w"), 1, 13), 16, 10).cast("long")
+    th = tok.select("doc_id", hv.alias("hv"))
+    votes = [
+        F.sum(
+            F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)).cast("int") * 2
+            - 1
+        ).alias(f"v{b}")
+        for b in range(52)
+    ]
+    agg = th.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(52):
+        term = (F.col(f"v{b}") > 0).cast("long") * F.lit(1 << b)
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+
+
+DOCS_SIMHASH_SIG_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(trim(lower(text)),
+                                                 '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 14),
+              i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)
+                   * pow(16, 13 - i))) AS BIGINT) AS hv
+  FROM tok
+), bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN (hv // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                            THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+  FROM h CROSS JOIN range(0, 52) t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(bit * pow(2, b)) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 DOCS_FINGERPRINT_SQL = """
 SELECT doc_id, md5(text) AS fingerprint_md5
 FROM documents ORDER BY doc_id
@@ -1053,6 +1109,7 @@ QUERIES = {
     "docs_exact_dups": docs_exact_dups,
     "docs_minhash_lsh": docs_minhash_lsh,
     "docs_simhash": docs_simhash,
+    "docs_simhash_sig": docs_simhash_sig,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
@@ -1088,6 +1145,7 @@ ORACLE_SQL = {
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_minhash_lsh": DOCS_MINHASH_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
+    "docs_simhash_sig": DOCS_SIMHASH_SIG_SQL,
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_lsh_neardups": EMB_LSH_SQL,
     "emb_label_centroid_sim": EMB_CENTROID_SQL,
