@@ -745,6 +745,28 @@ def emb_ivf_topk(spark, sf_dir):
     )
 
 
+def emb_ivf_topk_exact(spark, sf_dir):
+    """IVF in EXHAUSTIVE mode (nprobe = n_centroids): probing every cell
+    must return exactly the brute-force top-k, so the whole IVF machinery
+    (deterministic Lloyd centroids, cluster assignment, per-cell cosine
+    re-rank, tie-breaks) is value-hash-checked against the same DuckDB
+    brute-force oracle as emb_topk_cosine."""
+    from ..operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return (
+        ivf_topk(e, q, k=3, n_centroids=16, nprobe=16)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def emb_lsh_neardups(spark, sf_dir):
     """LSH-bucketed near-duplicate pairs (cosine ≥ 0.99).
 
@@ -1116,6 +1138,7 @@ QUERIES = {
     "docs_fingerprint": docs_fingerprint,
     "emb_topk_cosine": emb_topk_cosine,
     "emb_ivf_topk": emb_ivf_topk,
+    "emb_ivf_topk_exact": emb_ivf_topk_exact,
     "emb_lsh_neardups": emb_lsh_neardups,
     "emb_label_centroid_sim": emb_label_centroid_sim,
     "kg_dedup_sites": kg_dedup_sites,
@@ -1147,6 +1170,7 @@ ORACLE_SQL = {
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_simhash_sig": DOCS_SIMHASH_SIG_SQL,
     "emb_topk_cosine": EMB_TOPK_SQL,
+    "emb_ivf_topk_exact": EMB_TOPK_SQL,
     "emb_lsh_neardups": EMB_LSH_SQL,
     "emb_label_centroid_sim": EMB_CENTROID_SQL,
 }
