@@ -1054,6 +1054,102 @@ def kg_entity_triples(spark, sf_dir):
     return out
 
 
+def _sql_val(v):
+    """Python value → SQL literal for the inlined-vocab oracle."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values(rows, cols):
+    return ",\n    ".join(
+        "(" + ", ".join(_sql_val(r.get(c)) for c in cols) + ")" for r in rows
+    )
+
+
+def kg_entity_triples_oracle_sql() -> str:
+    """DuckDB oracle for kg_entity_triples: the SAME vocabulary rows are
+    inlined as VALUES and the per-predicate triple counts are recomputed
+    with independent SQL restating the emission rules
+    (operators/entity_triples.py / ref kgrel entity to_kg shapes) —
+    a real oracle over shared input, not a snapshot of the output."""
+    from ..sources.vocab import synthetic_vocab
+
+    v = synthetic_vocab()
+    alias_n = (
+        "CASE WHEN aliases IS NULL OR trim(aliases) = '' THEN 0 "
+        "ELSE len(string_split(aliases, '|')) END"
+    )
+    return f"""
+WITH commodity(minmod_id, name, aliases, parent, is_critical) AS (VALUES
+    {_values(v["commodity"], ["minmod_id", "name", "aliases", "parent", "is_critical_commodity"])}),
+unit(minmod_id, name, aliases) AS (VALUES
+    {_values(v["unit"], ["minmod_id", "name", "aliases"])}),
+country(minmod_id, name, aliases, iso3, iso2) AS (VALUES
+    {_values(v["country"], ["minmod_id", "name", "aliases", "iso3", "iso2"])}),
+state(minmod_id, name, country_name) AS (VALUES
+    {_values(v["state_or_province"], ["minmod_id", "name", "country_name"])}),
+dt(minmod_id, name, env, grp) AS (VALUES
+    {_values(v["deposit_type"], ["minmod_id", "deposit_type", "deposit_environment", "deposit_group"])}),
+cf(minmod_id, name, formula, commodity_id, conversion) AS (VALUES
+    {_values(v["commodity_form"], ["minmod_id", "name", "formula", "commodity_id", "conversion"])}),
+crs(minmod_id, name) AS (VALUES
+    {_values(v["crs"], ["minmod_id", "name"])}),
+ds(uri, name, type, created_by, description, score, connection) AS (VALUES
+    {_values(v["data_source"], ["uri", "name", "type", "created_by", "description", "score", "connection"])}),
+cat(id, label) AS (VALUES
+    {_values(v["category"], ["id", "label"])}),
+counts(pred, n) AS (
+  SELECT 'rdf:type',
+         (SELECT count(*) FROM commodity) + (SELECT count(*) FROM unit)
+       + (SELECT count(*) FROM country) + (SELECT count(*) FROM state)
+       + (SELECT count(*) FROM dt) + (SELECT count(*) FROM cf)
+       + (SELECT count(*) FROM crs) + (SELECT count(*) FROM ds)
+       + (SELECT count(*) FROM cat)
+  UNION ALL SELECT 'rdfs:label',
+         (SELECT count(name) FROM commodity) + (SELECT count(name) FROM unit)
+       + (SELECT count(name) FROM country) + (SELECT count(name) FROM state)
+       + (SELECT count(name) FROM dt) + (SELECT count(name) FROM cf)
+       + (SELECT count(name) FROM crs) + (SELECT count(name) FROM ds)
+       + (SELECT count(label) FROM cat)
+  UNION ALL SELECT 'mo:id',
+         (SELECT count(minmod_id) FROM commodity)
+       + (SELECT count(minmod_id) FROM unit)
+       + (SELECT count(minmod_id) FROM country)
+       + (SELECT count(minmod_id) FROM state)
+       + (SELECT count(minmod_id) FROM dt) + (SELECT count(id) FROM cat)
+  UNION ALL SELECT 'mo:aliases',
+         (SELECT coalesce(sum({alias_n}), 0) FROM commodity)
+       + (SELECT coalesce(sum({alias_n}), 0) FROM unit)
+       + (SELECT coalesce(sum({alias_n}
+            + (CASE WHEN iso3 IS NOT NULL AND trim(iso3) != '' THEN 1 ELSE 0 END)
+            + (CASE WHEN iso2 IS NOT NULL AND trim(iso2) != '' THEN 1 ELSE 0 END)), 0)
+          FROM country)
+  UNION ALL SELECT 'mo:parent', (SELECT count(parent) FROM commodity)
+  UNION ALL SELECT 'mo:is_critical', (SELECT count(is_critical) FROM commodity)
+  UNION ALL SELECT 'mo:environment', (SELECT count(env) FROM dt)
+  UNION ALL SELECT 'mo:group', (SELECT count(grp) FROM dt)
+  UNION ALL SELECT 'mo:country',
+         (SELECT count(c.minmod_id) FROM state s
+          LEFT JOIN country c ON s.country_name = c.name)
+  UNION ALL SELECT 'mo:formula', (SELECT count(formula) FROM cf)
+  UNION ALL SELECT 'mo:commodity', (SELECT count(commodity_id) FROM cf)
+  UNION ALL SELECT 'mo:conversion', (SELECT count(conversion) FROM cf)
+  UNION ALL SELECT 'mo:uri', (SELECT count(minmod_id) FROM crs)
+  UNION ALL SELECT 'mo:type', (SELECT count(type) FROM ds)
+  UNION ALL SELECT 'mo:created_by', (SELECT count(created_by) FROM ds)
+  UNION ALL SELECT 'mo:description', (SELECT count(description) FROM ds)
+  UNION ALL SELECT 'mo:score', (SELECT count(score) FROM ds)
+  UNION ALL SELECT 'mo:connection', (SELECT count(connection) FROM ds)
+)
+SELECT pred, CAST(n AS BIGINT) AS n FROM counts WHERE n > 0 ORDER BY pred
+"""
+
+
 def kg_sameas_triples(spark, sf_dir):
     """owl:sameAs emission from the canonicalized membership."""
     from ..operators import canonicalize
@@ -1169,6 +1265,7 @@ ORACLE_SQL = {
     "docs_minhash_lsh": DOCS_MINHASH_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_simhash_sig": DOCS_SIMHASH_SIG_SQL,
+    "kg_entity_triples": kg_entity_triples_oracle_sql(),
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_ivf_topk_exact": EMB_TOPK_SQL,
     "emb_lsh_neardups": EMB_LSH_SQL,
