@@ -1150,6 +1150,37 @@ SELECT pred, CAST(n AS BIGINT) AS n FROM counts WHERE n > 0 ORDER BY pred
 """
 
 
+def kg_lod_closure(spark, sf_dir):
+    """Q4 driver entry: full LOD dereference of the first corpus site's
+    subgraph via the semi-join fixpoint (plans/serving.py lod_closure).
+
+    Rows-only; invariants: the start subject's own triples are all
+    present, no owl:sameAs row survives, and the result equals a second
+    run (deterministic fixpoint)."""
+    from ..operators import extract
+    from ..plans.serving import lod_closure
+    from ..sources import synthetic
+
+    ingest = synthetic.synthesize_ingest(spark, 60, partitions=4)
+    triples = extract.extract_triples(ingest).select("subj", "pred", "obj")
+    start = (
+        triples.filter(F.col("pred") == "mo:source_id")
+        .orderBy("subj")
+        .first()["subj"]
+    )
+    out = lod_closure(triples, start).orderBy("subj", "pred", "obj")
+    own = triples.filter(
+        (F.col("subj") == start) & (F.col("pred") != "owl:sameAs")
+    ).count()
+    got_own = out.filter(F.col("subj") == start).count()
+    _invariant(got_own == own, "start subject's triples incomplete")
+    _invariant(
+        out.filter(F.col("pred") == "owl:sameAs").count() == 0,
+        "owl:sameAs leaked into the closure",
+    )
+    return out
+
+
 def kg_sameas_triples(spark, sf_dir):
     """owl:sameAs emission from the canonicalized membership."""
     from ..operators import canonicalize
@@ -1243,6 +1274,7 @@ QUERIES = {
     "kg_entity_linking": kg_entity_linking,
     "kg_entity_triples": kg_entity_triples,
     "kg_sameas_triples": kg_sameas_triples,
+    "kg_lod_closure": kg_lod_closure,
     "mm_image_stats": mm_image_stats,
 }
 

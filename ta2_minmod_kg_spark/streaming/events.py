@@ -261,3 +261,26 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# -- streaming exact dedup (training-pipeline surface) -------------------------
+
+
+def dedup_stream(
+    events_stream: DataFrame,
+    key_cols: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival per key,
+    bounded state via ``dropDuplicatesWithinWatermark`` — duplicates
+    arriving within the watermark horizon are suppressed, and state for
+    keys older than the watermark is evicted (the unbounded-state trap
+    ``dropDuplicates`` alone would hit on an infinite stream).
+
+    The batch analog is ``operators/text_dedup.exact_duplicates``; this
+    is its continuous form for an ingest firehose.
+    """
+    return events_stream.withWatermark(
+        watermark_col, watermark
+    ).dropDuplicatesWithinWatermark(key_cols)

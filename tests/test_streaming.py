@@ -126,3 +126,45 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     live1 = u1[(u1.session_no == 1) & ~u1.closed]
     assert len(live1) == 1 and int(live1.n_events.iloc[0]) == 2
     assert (rows[rows.user_id == "u2"].n_events == 1).all()
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Streaming exact dedup keeps one row per key and evicts state via
+    the watermark (dropDuplicatesWithinWatermark)."""
+    import json as _json
+    import os
+
+    from ta2_minmod_kg_spark.streaming.events import dedup_stream
+
+    src = str(tmp_path / "dups_in")
+    out = str(tmp_path / "dups_out")
+    ckpt = str(tmp_path / "dups_ckpt")
+    os.makedirs(src)
+    rows = [
+        {"event_id": 1, "user_id": "u1", "ts": "2024-01-01T10:00:00", "v": 1},
+        {"event_id": 1, "user_id": "u1", "ts": "2024-01-01T10:00:05", "v": 2},
+        {"event_id": 2, "user_id": "u2", "ts": "2024-01-01T10:01:00", "v": 3},
+        {"event_id": 2, "user_id": "u2", "ts": "2024-01-01T10:01:30", "v": 4},
+        {"event_id": 3, "user_id": "u1", "ts": "2024-01-01T10:02:00", "v": 5},
+    ]
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id string, ts timestamp, v long"
+        ).json(src)
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], "ts", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r["event_id"] for r in got.collect()} == {1, 2, 3}
