@@ -107,9 +107,16 @@ def _candidate_entity_err(v: Any, path: str) -> Optional[str]:
     return None
 
 
-def _ce_list_err(v: Any, path: str) -> Optional[str]:
-    if v is None:
+def _ce_list_err(
+    d: Any, key: str, path: str
+) -> Optional[str]:
+    """Non-Optional list[CandidateEntity] field: MISSING is fine (default
+    factory) but an explicitly-present None/non-list is rejected — the
+    reference's deserializer runs the list deser on any present value
+    (deserializer.py:360-366)."""
+    if not isinstance(d, dict) or key not in d:
         return None
+    v = d[key]
     if not isinstance(v, list):
         return path
     for i, item in enumerate(v):
@@ -173,9 +180,9 @@ def _reference_err(v: Any, path: str) -> Optional[str]:
     e = _document_err(v["document"], f"{path}.document")
     if e:
         return e
-    pis = v.get("page_info")
-    if pis is not None:
-        if not isinstance(pis, list):
+    if "page_info" in v:
+        pis = v["page_info"]
+        if not isinstance(pis, list):  # includes explicit null
             return f"{path}.page_info"
         for i, pi in enumerate(pis):
             e = _page_info_err(pi, f"{path}.page_info[{i}]")
@@ -228,7 +235,7 @@ def _location_err(v: Any, path: str) -> Optional[str]:
     if not isinstance(v, dict):
         return path
     for k in ("country", "state_or_province"):
-        e = _ce_list_err(v.get(k), f"{path}.{k}")
+        e = _ce_list_err(v, k, f"{path}.{k}")
         if e:
             return e
     crs = v.get("crs")
@@ -258,7 +265,7 @@ def _inventory_err(v: Any, path: str) -> Optional[str]:
     e = _cleaned_opt(v, "zone", f"{path}.zone")
     if e:
         return e
-    e = _ce_list_err(v.get("category"), f"{path}.category")
+    e = _ce_list_err(v, "category", f"{path}.category")
     if e:
         return e
     for k in ("grade", "cutoff_grade", "ore"):
@@ -292,9 +299,9 @@ def constrained_type_error(d: Any) -> Optional[str]:
         if e:
             return e
     for k in ("aliases", "mineral_form"):
-        v = d.get(k)
-        if v is not None:
-            if not isinstance(v, list):
+        if k in d:
+            v = d[k]
+            if not isinstance(v, list):  # includes explicit null
                 return k
             for i, s in enumerate(v):
                 if not _is_cleaned(s):
@@ -307,20 +314,20 @@ def constrained_type_error(d: Any) -> Optional[str]:
     e = _location_err(d.get("location_info"), "location_info")
     if e:
         return e
-    e = _ce_list_err(d.get("deposit_type_candidate"), "deposit_type_candidate")
+    e = _ce_list_err(d, "deposit_type_candidate", "deposit_type_candidate")
     if e:
         return e
-    invs = d.get("mineral_inventory")
-    if invs is not None:
-        if not isinstance(invs, list):
+    if "mineral_inventory" in d:
+        invs = d["mineral_inventory"]
+        if not isinstance(invs, list):  # includes explicit null
             return "mineral_inventory"
         for i, inv in enumerate(invs):
             e = _inventory_err(inv, f"mineral_inventory[{i}]")
             if e:
                 return e
-    refs = d.get("reference")
-    if refs is not None:
-        if not isinstance(refs, list):
+    if "reference" in d:
+        refs = d["reference"]
+        if not isinstance(refs, list):  # includes explicit null
             return "reference"
         for i, r in enumerate(refs):
             e = _reference_err(r, f"reference[{i}]")

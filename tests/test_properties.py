@@ -109,3 +109,107 @@ def test_grade_tonnage_invariants(invs):
         gt2 = compute_grade_tonnage(list(reversed(invs)))
         if gt2 is not None:
             assert gt2["date"] == gt["date"]
+
+
+# -- fuzz parity: constrained-type validator vs the reference's EXECUTED
+# deserializer (random structural mutations of a valid record) ---------------
+
+
+def _ref_deser():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from refshim import load_reference
+
+    ref = load_reference()
+    return ref.deserializer.get_dataclass_deserializer(
+        ref.mineral_site.MineralSite
+    )
+
+
+_SCALARS = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-5, 5),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=12),
+    st.lists(st.text(max_size=6), max_size=3),
+    st.dictionaries(st.text(max_size=6), st.text(max_size=6), max_size=2),
+)
+
+_PATHS = [
+    ("name",),
+    ("record_id",),
+    ("source_id",),
+    ("modified_at",),
+    ("aliases",),
+    ("discovered_year",),
+    ("site_rank",),
+    ("location_info",),
+    ("location_info", "country"),
+    ("location_info", "crs"),
+    ("location_info", "crs", "confidence"),
+    ("location_info", "crs", "normalized_uri"),
+    ("mineral_inventory",),
+    ("mineral_inventory", 0),
+    ("mineral_inventory", 0, "commodity"),
+    ("mineral_inventory", 0, "commodity", "source"),
+    ("mineral_inventory", 0, "ore"),
+    ("mineral_inventory", 0, "ore", "value"),
+    ("mineral_inventory", 0, "reference"),
+    ("mineral_inventory", 0, "reference", "document"),
+    ("mineral_inventory", 0, "reference", "document", "uri"),
+    ("reference",),
+    ("geology_info",),
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(0, 99),
+    st.sampled_from(_PATHS),
+    _SCALARS,
+)
+def test_constrained_fuzz_parity_vs_executed_reference(rec_i, path, value):
+    """Plant an arbitrary value at an arbitrary path of a valid record:
+    the engine's accept/reject decision must equal the reference's own
+    executed deserializer on EVERY mutation hypothesis finds."""
+    import copy
+    import json as _json
+
+    from ta2_minmod_kg_spark.operators.constrained import constrained_type_error
+    from ta2_minmod_kg_spark.sources import synthetic
+
+    deser = _ref_deser()
+    rec = copy.deepcopy(synthetic.make_record(rec_i, 100))
+    # navigate to the parent of the target and plant the value
+    node = rec
+    try:
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]] = value
+    except (KeyError, IndexError, TypeError):
+        return  # path absent in this record shape — nothing planted
+    # the planted subtree must be JSON-serializable for the Spark path;
+    # hypothesis scalars all are
+    _json.dumps(rec)
+
+    try:
+        deser(rec)
+        ref_rejects = "modified_at" not in rec
+    except Exception:
+        ref_rejects = True
+    mine = constrained_type_error(rec)
+    assert ref_rejects == (mine is not None), (path, value, mine)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_ttl_literal_escape_roundtrip_fuzz(s):
+    """escape_literal → single-pass unescape is the identity for ANY
+    string (the round-2 sequential-replace bug class, fuzzed)."""
+    from ta2_minmod_kg_spark.functions.rdf import escape_literal
+    from ta2_minmod_kg_spark.operators.linking import _ttl_unescape
+
+    assert _ttl_unescape(escape_literal(s)) == s
