@@ -345,7 +345,14 @@ def canonicalize_nested(
     roots = {s for s, p, o in triples if (p, "mo:MineralSite") == (RDF_TYPE, o)}
 
     def label(node: str, depth: int = 0) -> str:
-        if node in roots or not node.startswith("mr:") or depth > 6:
+        # relabel ANY non-root node that has outgoing edges: besides the
+        # reference's uuid-minted mr: nested nodes, its uri-less Document
+        # subjects render as '<None>' (Subject key="uri" on a None uri)
+        # where this engine mints a deterministic doc id — pure naming,
+        # so both sides compare by structure
+        if node in roots or depth > 6 or (
+            not node.startswith("mr:") and node not in outgoing
+        ):
             return node
         # signature over the SET of outgoing pairs (bisimulation): the
         # reference's to_triples mints a fresh uuid node per object

@@ -200,3 +200,88 @@ def test_grade_tonnage_parity_vs_reference(ref):
         assert total_grade_pct(got["total"]) == pytest.approx(
             rt.get_grade()
         ), scenario
+
+
+def test_grade_tonnage_fuzz_vs_reference(ref):
+    """Hypothesis fuzz: random inventory lists (categories, zones, dates,
+    ores, grades incl. ties/invalid mixes) — engine vs the reference's
+    EXECUTED GradeTonnageModel on every generated case."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ta2_minmod_kg_spark.operators.grade_tonnage import (
+        compute_grade_tonnage,
+        total_grade_pct,
+    )
+
+    MR = "https://minmod.isi.edu/resource/"
+    model = ref.grade_tonnage.GradeTonnageModel()
+    MI = ref.grade_tonnage.GradeTonnageModel.MineralInventory
+
+    CATS = [
+        "Inferred", "Indicated", "Measured", "Proven", "Probable",
+        "Extracted", "CumulativeExtracted", "OriginalResource",
+    ]
+    inv_st = st.tuples(
+        st.lists(st.sampled_from(CATS), min_size=1, max_size=3, unique=True),
+        st.floats(0.1, 1000.0, allow_nan=False),
+        st.floats(0.01, 60.0, allow_nan=False),
+        st.sampled_from([None, "2010-01", "2015-06", "2020-01", "2020"]),
+        st.sampled_from([None, "zoneA", "zoneB"]),
+    )
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.lists(inv_st, min_size=1, max_size=6))
+    def run(scenario):
+        ref_invs = [
+            MI(
+                id=str(i), date=date, zone=zone,
+                category=[MR + c for c in cats],
+                material_form_conversion=None,
+                ore_value=ore, ore_unit=MR + "Q202",
+                grade_value=grade, grade_unit=MR + "Q201",
+            )
+            for i, (cats, ore, grade, date, zone) in enumerate(scenario)
+        ]
+        ref_out = model(ref_invs)
+        engine_invs = [
+            {
+                "date": date, "zone": zone,
+                "category": [MR + c for c in cats],
+                "material_form_conversion": None,
+                "ore_value": ore, "ore_unit": MR + "Q202",
+                "grade_value": grade, "grade_unit": MR + "Q201",
+            }
+            for cats, ore, grade, date, zone in scenario
+        ]
+        got = compute_grade_tonnage(engine_invs)
+        if ref_out is None or ref_out.total_estimate is None:
+            assert got is None or got["total"] is None, (scenario, got)
+            return
+        assert got is not None and got["total"] is not None, (scenario, ref_out)
+        rt = ref_out.total_estimate
+        assert got["total"][0] == pytest.approx(rt.tonnage), scenario
+        assert got["total"][1] == pytest.approx(rt.contained_metal), scenario
+        assert total_grade_pct(got["total"]) == pytest.approx(rt.get_grade()), scenario
+
+    run()
+
+
+def test_triple_pr_vs_reference_on_synthetic_corpus(ref):
+    """The same executed-reference triple parity, but over the engine's
+    SYNTHETIC corpus (projected-CRS slices, twins, expert records,
+    geology structs, multi-inventory sites) — P/R must stay exactly 1.0
+    on record shapes the fixture corpus does not exercise."""
+    from ta2_minmod_kg_spark.sources import synthetic
+
+    # P/R per record (canonicalization across records would conflate the
+    # reference's '<None>' uri-less-document subjects between records)
+    for n in range(150):
+        raw = synthetic.make_record(n, 150)
+        _, mine = site_to_triples(raw, include_extra=True)
+        oracle = [
+            (s, p, o)
+            for s, p, o in ref.mineral_site.MineralSite.from_dict(raw).to_triples()
+        ]
+        pr = precision_recall(mine, oracle)
+        assert pr["precision"] == 1.0 and pr["recall"] == 1.0, (n, pr)
