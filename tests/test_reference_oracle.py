@@ -285,3 +285,58 @@ def test_triple_pr_vs_reference_on_synthetic_corpus(ref):
         ]
         pr = precision_recall(mine, oracle)
         assert pr["precision"] == 1.0 and pr["recall"] == 1.0, (n, pr)
+
+
+def test_merge_mut_parity_vs_reference(ref):
+    """A8 parity: engine merge_records vs the reference's EXECUTED
+    MineralSite.merge_mut across synthetic record pairs.
+
+    Scope note: the reference's Reference.dedup ASSERTS when a document
+    has neither doi nor uri (reference.py:99) — the engine merges those
+    gracefully, so pairs containing such documents are excluded here
+    (a documented divergence where the reference crashes outright)."""
+    import json as _json
+
+    from ta2_minmod_kg_spark.operators.merge_records import merge_records
+    from ta2_minmod_kg_spark.sources import synthetic
+
+    MS = ref.mineral_site.MineralSite
+
+    def has_keyable_docs(rec):
+        return all(
+            (r.get("document") or {}).get("uri")
+            or (r.get("document") or {}).get("doi")
+            for r in rec.get("reference", [])
+        )
+
+    checked = 0
+    for i in range(0, 120, 2):
+        a = synthetic.make_record(i, 160)
+        b = synthetic.make_record(i + 1, 160)
+        if not (has_keyable_docs(a) and has_keyable_docs(b)):
+            continue
+        b["created_by"] = a["created_by"]
+        a["modified_at"] = "2024-01-01T00:00:00.000000Z"
+        b["modified_at"] = "2024-02-01T00:00:00.000000Z"
+        ra = MS.from_dict(_json.loads(_json.dumps(a)))
+        rb = MS.from_dict(_json.loads(_json.dumps(b)))
+        ra.merge_mut(rb)
+        want = ra.to_dict()
+        got = merge_records([a, b])
+        for k in ("name", "site_rank", "site_type", "modified_at",
+                  "discovered_year"):
+            assert want.get(k) == got.get(k), (i, k, want.get(k), got.get(k))
+        # to_dict drops empty lists (makedict.without_none_or_empty_list);
+        # normalize the shape before comparing list fields
+        assert (want.get("aliases") or []) == (got.get("aliases") or []), i
+        assert len(want.get("mineral_inventory", [])) == len(
+            got.get("mineral_inventory", [])
+        ), i
+        assert len(want.get("reference", [])) == len(
+            got.get("reference", [])
+        ), i
+        # location candidates merge with extend_unique on both sides
+        wl, gl = want.get("location_info") or {}, got.get("location_info") or {}
+        assert len(wl.get("country", []) or []) == len(gl.get("country", []) or []), i
+        checked += 1
+    assert checked >= 20, checked
