@@ -43,7 +43,15 @@ def salted_join(
     Use when ``other`` is too big to broadcast but small enough that
     n_salts× replication is cheaper than one straggler task; result is
     row-identical to the unsalted join (tests/test_skew.py).
+
+    Only left-sided join types are allowed: under right/full-outer the
+    replicated side's unmatched rows would surface once PER SALT.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports left-sided joins only, got {how!r} "
+            "(the replicated side would duplicate unmatched rows)"
+        )
     left = with_salt(skewed, n_salts)
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))

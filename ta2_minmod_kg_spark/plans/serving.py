@@ -176,6 +176,7 @@ def lod_closure(triples: DataFrame, subj: str, max_iters: int = 64) -> DataFrame
     )
     reached = spark.createDataFrame([(subj,)], "subj string")
     frontier = reached
+    cached = []  # every intermediate persist, released before returning
     for _ in range(max_iters):
         new = (
             follow.join(frontier, "subj", "left_semi")
@@ -184,14 +185,22 @@ def lod_closure(triples: DataFrame, subj: str, max_iters: int = 64) -> DataFrame
             .join(reached, "subj", "left_anti")
             .persist()
         )
+        cached.append(new)
         if new.count() == 0:
             break
         reached = reached.unionByName(new).persist()
+        cached.append(reached)
         frontier = new
-    follow.unpersist()
-    return (
+    out = (
         triples.join(reached, "subj", "left_semi")
         .filter(F.col("pred") != "owl:sameAs")
         .select("subj", "pred", "obj")
         .distinct()
     )
+    # materialize before dropping the iteration caches the plan depends on
+    out = out.persist()
+    out.count()
+    follow.unpersist()
+    for df in cached:
+        df.unpersist()
+    return out
