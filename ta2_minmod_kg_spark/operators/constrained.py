@@ -31,6 +31,7 @@ error like the reference's raise.
 from __future__ import annotations
 
 import json
+import math
 from typing import Any, Optional
 from urllib.parse import urlparse
 
@@ -52,7 +53,13 @@ def _confidence_err(v: Any) -> bool:
 def _is_url(s: Any) -> bool:
     if not isinstance(s, str) or " " in s:
         return False
-    r = urlparse(s)
+    try:
+        r = urlparse(s)
+    except ValueError:
+        # e.g. "http://[" raises 'Invalid IPv6 URL'; the reference's
+        # deserializer raises the same error and its caller rejects the
+        # record — here that means "not a URL".
+        return False
     return len(r.scheme) > 0 and len(r.netloc) > 0
 
 
@@ -68,7 +75,9 @@ def _int_err(v: Any) -> bool:
         except ValueError:
             return True
     if isinstance(v, float):
-        return v != int(v)
+        # json.loads accepts NaN/Infinity literals; int(nan) raises
+        # ValueError and int(inf) OverflowError — both mean "not an int".
+        return not math.isfinite(v) or v != int(v)
     return True
 
 
@@ -348,5 +357,12 @@ def constrained_error_udf(content: pd.Series) -> pd.Series:
         except Exception:
             out.append("$")
             continue
-        out.append(constrained_type_error(d))
+        try:
+            out.append(constrained_type_error(d))
+        except Exception:
+            # Quarantine contract: any validator-internal error (exotic
+            # payloads the per-field guards miss) rejects the ONE record
+            # rather than failing the whole Spark job.  The reference's
+            # caller catches its deserializer's raises the same way.
+            out.append("$")
     return pd.Series(out, dtype="object")

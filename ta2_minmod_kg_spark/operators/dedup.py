@@ -46,8 +46,13 @@ DEFAULT_SOURCE_SCORE = 0.5  # ref minmodkg/config.py:28
 
 def with_site_score(sites: DataFrame) -> DataFrame:
     """JVM-side SiteScore columns (score, is_expert)."""
+    # NaN-guard: Spark evaluates NaN >= 0 as TRUE and least(NaN, 0.99) as
+    # 0.99, so a NaN source_score (e.g. from a pandas None→NaN coercion)
+    # would silently flip default-score sites from 0.5 to 0.99.  The
+    # reference's Optional[float] semantics are NULL, never NaN.
     clean_src = F.when(
-        F.col("source_score") >= 0, F.col("source_score")
+        (F.col("source_score") >= 0) & ~F.isnan(F.col("source_score")),
+        F.col("source_score"),
     ).otherwise(F.lit(None))
     return sites.withColumn(
         "is_expert", ~F.col("created_by").startswith(F.lit(SYSTEM_PREFIX))

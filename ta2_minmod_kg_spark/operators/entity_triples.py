@@ -81,7 +81,15 @@ def _bool_lit(col):
 
 
 def _decimal_lit(col):
-    return F.concat(F.lit('"'), col.cast("string"), F.lit('"^^xsd:decimal'))
+    # NaN guard (belt-and-braces with vocab_dataframes' NULL-not-NaN
+    # construction): Spark's isNotNull() is TRUE for NaN, and the reference
+    # never emits a literal for an absent Optional[float] — so NaN must
+    # render as no-triple, exactly like NULL.
+    d = col.cast("double")
+    return F.when(
+        d.isNotNull() & ~F.isnan(d),
+        F.concat(F.lit('"'), col.cast("string"), F.lit('"^^xsd:decimal')),
+    )
 
 
 def entity_triples(vocab: dict[str, DataFrame]) -> DataFrame:

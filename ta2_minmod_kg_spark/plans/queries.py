@@ -560,7 +560,7 @@ def docs_simhash_sig(spark, sf_dir):
     return agg.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
 
 
-DOCS_SIMHASH_SIG_SQL = """
+DOCS_SIMHASH_SIG_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
          unnest(string_split(trim(regexp_replace(trim(lower(text)),
@@ -677,16 +677,22 @@ def docs_fingerprint(spark, sf_dir):
         fingerprint64(F.col("text")).alias("fingerprint64"),
     ).orderBy("doc_id")
     # invariant: the JVM xxhash64 column matches the pure-python XXH64
-    # (seed 42 over UTF8 bytes of the normalized text) on a sample
-    import re
-
+    # (seed 42 over UTF8 bytes of the normalized text) on a sample.
+    # The normalized string is computed with the SAME Spark expressions as
+    # fingerprint64 (Java \s is ASCII-only and toLowerCase differs from
+    # Python's for e.g. U+00A0/U+0130, so re-deriving it with Python re
+    # could falsely trip the invariant) — only the hash runs in Python.
     from ..functions.xxh import xxh64
 
-    for r in out.limit(5).collect():
-        raw = d.filter(F.col("doc_id") == r["doc_id"]).first()["text"]
-        # Spark trim strips SPACES only (not \n/\t) — mirror exactly
-        norm = re.sub(r"\s+", " ", raw.strip(" ").lower())
-        want = xxh64(norm.encode("utf-8"), seed=42)
+    norm_col = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    sample = (
+        d.select("doc_id", norm_col.alias("norm"))
+        .join(out.limit(5).select("doc_id", "fingerprint64"), "doc_id")
+        .collect()
+    )
+    _invariant(len(sample) == 5 or len(sample) == d.count(), "sample join lost rows")
+    for r in sample:
+        want = xxh64(r["norm"].encode("utf-8"), seed=42)
         got = r["fingerprint64"] & ((1 << 64) - 1)
         _invariant(got == want, f"fingerprint64 mismatch for {r['doc_id']}")
     return out.drop("fingerprint64")

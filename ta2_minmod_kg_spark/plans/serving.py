@@ -197,9 +197,12 @@ def lod_closure(triples: DataFrame, subj: str, max_iters: int = 64) -> DataFrame
         .select("subj", "pred", "obj")
         .distinct()
     )
-    # materialize before dropping the iteration caches the plan depends on
-    out = out.persist()
-    out.count()
+    # materialize before dropping the iteration caches the plan depends on.
+    # localCheckpoint (eager), not persist(): checkpoint blocks are owned by
+    # the returned RDD and reclaimed by the ContextCleaner once callers drop
+    # the result, whereas a persist() here would pin cache-manager entries
+    # for the session's lifetime with no caller ever unpersisting them.
+    out = out.localCheckpoint(eager=True)
     follow.unpersist()
     for df in cached:
         df.unpersist()

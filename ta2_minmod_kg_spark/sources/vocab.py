@@ -253,13 +253,24 @@ VOCAB_SCHEMAS: dict[str, str] = {
 
 def vocab_dataframes(spark: SparkSession) -> dict[str, DataFrame]:
     """Vocabulary DataFrames (broadcast-sized dims), built with explicit
-    schemas so they work identically in any session (Arrow on or off)."""
-    import pandas as pd
+    schemas so they work identically in any session (Arrow on or off).
 
-    return {
-        name: spark.createDataFrame(pd.DataFrame(rows), schema=VOCAB_SCHEMAS[name])
-        for name, rows in synthetic_vocab().items()
-    }
+    Rows go straight from Python dicts to tuples in schema order — NOT via
+    ``pd.DataFrame``, which coerces ``None`` in float columns to ``NaN``.
+    Spark treats NaN as non-NULL (``isNotNull()`` is true, ``NaN >= 0`` is
+    true), so a pandas round-trip would leak ``"NaN"^^xsd:decimal`` score
+    triples for null-score data sources; the reference's
+    ``score: Optional[float]`` (models/kg/data_source.py:22) emits nothing.
+    """
+    from pyspark.sql.types import StructType
+
+    out: dict[str, DataFrame] = {}
+    for name, rows in synthetic_vocab().items():
+        schema = StructType.fromDDL(VOCAB_SCHEMAS[name])
+        cols = [f.name for f in schema.fields]
+        data = [tuple(r.get(c) for c in cols) for r in rows]
+        out[name] = spark.createDataFrame(data, schema=schema)
+    return out
 
 
 def write_vocab_csvs(outdir: str) -> None:

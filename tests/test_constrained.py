@@ -141,6 +141,17 @@ PLANTS = [
             uri="https://example.org/a b"
         ),
     ),
+    # round-3 ADVICE: values whose validation path RAISES internally —
+    # int(nan) ValueError, int(inf) OverflowError, urlparse('http://[')
+    # ValueError — must reject the record, not blow up the validator.
+    ("discovered_year_nan", lambda r: r.update(discovered_year=float("nan"))),
+    ("discovered_year_inf", lambda r: r.update(discovered_year=float("inf"))),
+    (
+        "doc_uri_bad_ipv6",
+        lambda r: r["mineral_inventory"][0]["reference"]["document"].update(
+            uri="http://["
+        ),
+    ),
 ]
 
 ACCEPT_PLANTS = [

@@ -227,3 +227,38 @@ def test_select_inventories_newer_date_beats_higher_metal():
     ]
     out = _select_inv_fn(pd.DataFrame(rows))
     assert out.iloc[0]["site_id"] == "s2"
+
+
+def test_site_score_null_and_nan_source_default(spark):
+    """Regression (round-3 landmine): NaN >= 0 is TRUE and
+    least(NaN, 0.99) = 0.99 in Spark, so a NaN source_score reaching
+    with_site_score would silently flip default-score system sites from
+    0.5 to 0.99.  NULL and NaN must both fall back to the 0.5 default
+    (ref minmodkg/config.py:28 DEFAULT_SOURCE_SCORE)."""
+    from ta2_minmod_kg_spark.operators.dedup import with_site_score
+
+    rows = [
+        ("s1", SYS, None, 1),
+        ("s2", SYS, float("nan"), 1),
+        ("s3", SYS, 0.8, 1),
+        ("s4", SYS, 1.5, 1),          # >0.99 clamps
+        ("s5", SYS, -1.0, 1),         # negative → default
+        ("s6", USR, float("nan"), 1), # expert always 1.0
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="site_id string, created_by string, source_score double, "
+        "modified_at bigint",
+    )
+    got = {
+        r["site_id"]: (r["score"], r["is_expert"])
+        for r in with_site_score(df).collect()
+    }
+    assert got == {
+        "s1": (0.5, False),
+        "s2": (0.5, False),
+        "s3": (0.8, False),
+        "s4": (0.99, False),
+        "s5": (0.5, False),
+        "s6": (1.0, True),
+    }

@@ -134,3 +134,47 @@ def test_entity_triples_exact_parity(spark, ref):
         len(got),
         len(want),
     )
+
+
+def test_null_and_nan_score_emit_no_score_triple(spark):
+    """Regression (round-3 red oracle): a data source whose score is absent
+    must emit NO mo:score triple — whether the absence arrives as NULL or
+    as NaN (Spark's isNotNull() is TRUE for NaN, so an unguarded emission
+    leaks '"NaN"^^xsd:decimal'; ref score: Optional[float] emits nothing,
+    minmodkg/models/kg/data_source.py:22)."""
+    from pyspark.sql.types import StructType
+
+    from ta2_minmod_kg_spark.sources.vocab import VOCAB_SCHEMAS
+
+    vdfs = vocab_dataframes(spark)
+    schema = StructType.fromDDL(VOCAB_SCHEMAS["data_source"])
+    rows = [
+        ("https://ex.org/null", "n", "t", "u", "d", None, "c"),
+        ("https://ex.org/nan", "n", "t", "u", "d", float("nan"), "c"),
+        ("https://ex.org/real", "n", "t", "u", "d", 0.75, "c"),
+    ]
+    vdfs["data_source"] = spark.createDataFrame(rows, schema=schema)
+    # empty out the other tables so the check is isolated
+    for name in vdfs:
+        if name != "data_source":
+            vdfs[name] = vdfs[name].limit(0)
+    t = entity_triples(vdfs)
+    scores = {
+        r["subj"]: r["obj"]
+        for r in t.filter(t.pred == "mo:score").collect()
+    }
+    assert scores == {"<https://ex.org/real>": '"0.75"^^xsd:decimal'}
+
+
+def test_vocab_dataframes_absent_floats_are_null_not_nan(spark):
+    """The vocab boundary must produce NULL, never NaN, for absent floats
+    in EVERY float column of every table (pd.DataFrame would coerce
+    None→NaN; we build from tuples with explicit schemas)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, FloatType
+
+    for name, df in vocab_dataframes(spark).items():
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (DoubleType, FloatType)):
+                n = df.filter(F.isnan(F.col(f.name))).count()
+                assert n == 0, (name, f.name, n)

@@ -132,7 +132,10 @@ _SCALARS = st.one_of(
     st.none(),
     st.booleans(),
     st.integers(-5, 5),
-    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    # NaN/Infinity included deliberately: json.loads accepts the literals,
+    # and the validator must REJECT (not raise) on them (round-3 ADVICE —
+    # int(nan) raises ValueError, int(inf) OverflowError inside _int_err).
+    st.floats(allow_nan=True, allow_infinity=True, width=32),
     st.text(max_size=12),
     st.lists(st.text(max_size=6), max_size=3),
     st.dictionaries(st.text(max_size=6), st.text(max_size=6), max_size=2),
