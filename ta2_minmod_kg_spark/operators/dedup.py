@@ -307,7 +307,9 @@ BIG_GROUP_THRESHOLD = 50_000
 
 
 def merge_dedup_sites(
-    sites_with_dedup: DataFrame, big_group_threshold: int = BIG_GROUP_THRESHOLD
+    sites_with_dedup: DataFrame,
+    big_group_threshold: int = BIG_GROUP_THRESHOLD,
+    ranked_sites_cap: int | None = None,
 ) -> DataFrame:
     """A3/A4: group-merge.  Input: SITE_REL columns + dedup_site_id.
 
@@ -317,6 +319,15 @@ def merge_dedup_sites(
     Catalyst partial aggregation, never assembles the group on one task)
     while normal groups take the collect_list + Arrow kernel path.  The
     two paths are byte-equivalent (tests/test_dedup_wide.py).
+
+    ``ranked_sites_cap`` (VERDICT r03 #7): the reference keeps the FULL
+    member list on every dedup site, so the default (None) preserves
+    parity — at the cost that a mega group's ranked_sites array
+    materializes on one reducer (~tens of MB at 10^6 members; documented
+    ceiling).  Beyond that scale, pass a cap to truncate each mega
+    group's ranked_sites to the top-K members by rank via salted partial
+    aggregation — no task ever holds more than ~n_salts×K structs.  All
+    other merged fields stay exact; only the member list is truncated.
     """
     narrow = with_site_score(sites_with_dedup)
     # group sizes from the pruned key column only — Catalyst reads just the
@@ -343,7 +354,9 @@ def merge_dedup_sites(
         F.collect_list(F.struct(*_ATTR_INPUT_COLS)).alias("sites")
     )
     out_small = grouped.mapInPandas(_merge_batch_fn, schema=DEDUP_ATTRS_SCHEMA)
-    return out_small.unionByName(_merge_big_groups_sql(big))
+    return out_small.unionByName(
+        _merge_big_groups_sql(big, ranked_sites_cap=ranked_sites_cap)
+    )
 
 
 # -- inventory selection (A5) --------------------------------------------------
@@ -584,7 +597,45 @@ _GEO_SCALARS = (
 )
 
 
-def _merge_big_groups_sql(narrow: DataFrame) -> DataFrame:
+def _ranked_desc(col):
+    """Sort an array of (rk, …) structs by rk DESC (== rank ascending)."""
+    return F.array_sort(
+        col,
+        lambda a, b: F.when(a["rk"] > b["rk"], -1)
+        .when(a["rk"] < b["rk"], 1)
+        .otherwise(0),
+    )
+
+
+def _capped_ranked_sites(df: DataFrame, cap: int, n_salts: int = 64) -> DataFrame:
+    """Top-``cap`` members by rk per dedup group WITHOUT assembling the
+    full group anywhere: salt → per-(group, salt) collect+sort+truncate
+    (each task holds ≤ its salt shard, sorted arrays ≤ cap) → merge the
+    ≤ n_salts truncated lists and truncate again.  Exact top-K because
+    every global top-K member survives its own shard's cut."""
+    s = F.struct("rk", "site_id", "score", "is_expert")
+    shard = (
+        df.withColumn("_salt", F.pmod(F.xxhash64("site_id"), F.lit(n_salts)))
+        .groupBy("dedup_site_id", "_salt")
+        .agg(F.collect_list(s).alias("l"))
+        .select(
+            "dedup_site_id",
+            F.slice(_ranked_desc(F.col("l")), 1, cap).alias("l"),
+        )
+    )
+    return (
+        shard.groupBy("dedup_site_id")
+        .agg(F.flatten(F.collect_list("l")).alias("l"))
+        .select(
+            "dedup_site_id",
+            F.slice(_ranked_desc(F.col("l")), 1, cap).alias("_ranked_raw"),
+        )
+    )
+
+
+def _merge_big_groups_sql(
+    narrow: DataFrame, ranked_sites_cap: int | None = None
+) -> DataFrame:
     """A3/A4 for groups too large for a single collect_list task, as pure
     Catalyst aggregates (map-side partials, no giant row assembly).
 
@@ -651,21 +702,24 @@ def _merge_big_groups_sql(narrow: DataFrame) -> DataFrame:
             for sub in ("type", "unit")
         ],
         F.max_by(F.col("site_id"), F.col("rk")).alias("_top_site"),
-        F.collect_list(
-            F.struct("rk", "site_id", "score", "is_expert")
-        ).alias("_ranked_raw"),
+        *(
+            []
+            if ranked_sites_cap is not None
+            else [
+                F.collect_list(
+                    F.struct("rk", "site_id", "score", "is_expert")
+                ).alias("_ranked_raw")
+            ]
+        ),
         F.max("modified_at").alias("modified_at"),
     )
-    # sort the collected narrow structs by rk DESC (== rank ascending)
-    agg = agg.withColumn(
-        "_ranked_raw",
-        F.array_sort(
-            F.col("_ranked_raw"),
-            lambda a, b: F.when(a["rk"] > b["rk"], -1)
-            .when(a["rk"] < b["rk"], 1)
-            .otherwise(0),
-        ),
-    )
+    if ranked_sites_cap is not None:
+        agg = agg.join(
+            _capped_ranked_sites(df, ranked_sites_cap), "dedup_site_id"
+        )
+    else:
+        # sort the collected narrow structs by rk DESC (== rank ascending)
+        agg = agg.withColumn("_ranked_raw", _ranked_desc(F.col("_ranked_raw")))
 
     def rock_struct(rock):
         t, u = F.col(f"g_{rock}_type"), F.col(f"g_{rock}_unit")

@@ -1,0 +1,391 @@
+"""Inlined-VALUES DuckDB oracles for the kg_* driver entries (VERDICT r03 #2).
+
+The synthetic corpus is deterministic pure Python (sources/synthetic.py), so
+its raw records can be inlined into the oracle SQL as VALUES — the shared
+INPUT — while the semantics under test (triple fan-out, same-as set algebra)
+are restated in *independent DuckDB SQL*:
+
+- ``kg_triples_oracle_sql``: every corpus record's raw JSON string is a
+  VALUES row; per-predicate triple counts are recomputed with DuckDB's JSON
+  functions restating the reference's ``to_triples`` fan-out rules
+  (`minmodkg/libraries/rdf/rdf_model.py:214-266` shapes, field coverage per
+  `MineralSite.to_kg()`), with zero engine code in the counting path.
+- ``kg_sameas_triples_oracle_sql``: node/edge/curated rows are inlined; the
+  full G1-G5 flow — connected components (recursive CTE), curated override
+  (`etl/same_as.py:303-307`), replace_group splice (`same_as.py:352-381`),
+  singleton attach, min-relabel, star emission (`same_as.py:324-334`) — is
+  restated as one DuckDB WITH RECURSIVE program.
+
+This is the same technique that caught the round-3 NaN-score leak in
+``kg_entity_triples`` (plans/queries.py kg_entity_triples_oracle_sql).
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _corpus_json(n_sites: int) -> list[str]:
+    """The exact ingest content strings (sources/synthetic.py _gen_batch):
+    one system record per index plus an expert duplicate every 7th."""
+    from ..sources import synthetic
+
+    out = []
+    for n in range(n_sites):
+        out.append(json.dumps(synthetic.make_record(n, n_sites), sort_keys=True))
+        if synthetic.has_expert_dup(n):
+            out.append(
+                json.dumps(
+                    synthetic.make_record(n, n_sites, expert=True), sort_keys=True
+                )
+            )
+    return out
+
+
+def kg_triples_oracle_sql(n_sites: int) -> str:
+    values = ",\n".join(f"({_q(s)})" for s in _corpus_json(n_sites))
+
+    # Presence rule throughout: a field is emitted iff it is present AND not
+    # JSON null — DuckDB json_extract returns SQL NULL for both, matching
+    # the emitter's ``site.get(k) is not None``.
+    return f"""
+WITH rec(j) AS (VALUES
+{values}),
+loc AS (
+  SELECT json_extract(j, '$.location_info') AS l FROM rec
+  WHERE json_extract(j, '$.location_info') IS NOT NULL
+),
+invs AS (SELECT unnest(json_extract(j, '$.mineral_inventory[*]')) AS inv FROM rec),
+srefs AS (SELECT unnest(json_extract(j, '$.reference[*]')) AS r FROM rec),
+irefs AS (
+  SELECT json_extract(inv, '$.reference') AS r FROM invs
+  WHERE json_extract(inv, '$.reference') IS NOT NULL
+),
+refs AS (SELECT r FROM srefs UNION ALL SELECT r FROM irefs),
+pis AS (SELECT unnest(json_extract(r, '$.page_info[*]')) AS pi FROM refs),
+bbs AS (
+  SELECT json_extract(pi, '$.bounding_box') AS bb FROM pis
+  WHERE json_extract(pi, '$.bounding_box') IS NOT NULL
+),
+meas AS (
+  SELECT json_extract(inv, '$.grade') AS m FROM invs
+    WHERE json_extract(inv, '$.grade') IS NOT NULL
+  UNION ALL
+  SELECT json_extract(inv, '$.cutoff_grade') FROM invs
+    WHERE json_extract(inv, '$.cutoff_grade') IS NOT NULL
+  UNION ALL
+  SELECT json_extract(inv, '$.ore') FROM invs
+    WHERE json_extract(inv, '$.ore') IS NOT NULL
+),
+ces AS (
+  SELECT unnest(json_extract(l, '$.country[*]')) AS ce FROM loc
+  UNION ALL SELECT unnest(json_extract(l, '$.state_or_province[*]')) FROM loc
+  UNION ALL SELECT json_extract(l, '$.crs') FROM loc
+    WHERE json_extract(l, '$.crs') IS NOT NULL
+  UNION ALL SELECT unnest(json_extract(j, '$.deposit_type_candidate[*]')) FROM rec
+  UNION ALL SELECT json_extract(inv, '$.commodity') FROM invs
+    WHERE json_extract(inv, '$.commodity') IS NOT NULL
+  UNION ALL SELECT unnest(json_extract(inv, '$.category[*]')) FROM invs
+  UNION ALL SELECT json_extract(inv, '$.material_form') FROM invs
+    WHERE json_extract(inv, '$.material_form') IS NOT NULL
+  UNION ALL SELECT json_extract(m, '$.unit') FROM meas
+    WHERE json_extract(m, '$.unit') IS NOT NULL
+),
+counts(pred, n) AS (
+  -- one typed node per record / location / inventory / measure; each
+  -- reference call mints a Reference AND a Document node; plus PageInfo,
+  -- BoundingBox and every CandidateEntity
+  SELECT 'rdf:type',
+         (SELECT count(*) FROM rec) + (SELECT count(*) FROM loc)
+       + (SELECT count(*) FROM invs) + (SELECT count(*) FROM meas)
+       + 2 * (SELECT count(*) FROM refs) + (SELECT count(*) FROM pis)
+       + (SELECT count(*) FROM bbs) + (SELECT count(*) FROM ces)
+  UNION ALL SELECT 'mo:source_id',
+    (SELECT count(*) FROM rec WHERE json_extract(j, '$.source_id') IS NOT NULL)
+  UNION ALL SELECT 'mo:record_id',
+    (SELECT count(*) FROM rec WHERE json_extract(j, '$.record_id') IS NOT NULL)
+  UNION ALL SELECT 'mo:created_by',
+    (SELECT count(*) FROM rec WHERE json_extract(j, '$.created_by') IS NOT NULL)
+  UNION ALL SELECT 'mo:modified_at',
+    (SELECT count(*) FROM rec WHERE json_extract(j, '$.modified_at') IS NOT NULL)
+  UNION ALL SELECT 'rdfs:label',
+    (SELECT count(*) FROM rec WHERE json_extract(j, '$.name') IS NOT NULL)
+  UNION ALL SELECT 'mo:aliases',
+    (SELECT coalesce(sum(json_array_length(j, '$.aliases')), 0) FROM rec)
+  UNION ALL SELECT 'mo:site_rank',
+    (SELECT count(*) FROM rec WHERE json_extract(j, '$.site_rank') IS NOT NULL)
+  UNION ALL SELECT 'mo:site_type',
+    (SELECT count(*) FROM rec WHERE json_extract(j, '$.site_type') IS NOT NULL)
+  UNION ALL SELECT 'mo:location_info', (SELECT count(*) FROM loc)
+  UNION ALL SELECT 'mo:country',
+    (SELECT coalesce(sum(json_array_length(l, '$.country')), 0) FROM loc)
+  UNION ALL SELECT 'mo:state_or_province',
+    (SELECT coalesce(sum(json_array_length(l, '$.state_or_province')), 0) FROM loc)
+  UNION ALL SELECT 'mo:crs',
+    (SELECT count(*) FROM loc WHERE json_extract(l, '$.crs') IS NOT NULL)
+  UNION ALL SELECT 'mo:location',
+    (SELECT count(*) FROM loc WHERE json_extract(l, '$.location') IS NOT NULL)
+  UNION ALL SELECT 'mo:deposit_type_candidate',
+    (SELECT coalesce(sum(json_array_length(j, '$.deposit_type_candidate')), 0)
+     FROM rec)
+  UNION ALL SELECT 'mo:mineral_inventory', (SELECT count(*) FROM invs)
+  UNION ALL SELECT 'mo:commodity',
+    (SELECT count(*) FROM invs WHERE json_extract(inv, '$.commodity') IS NOT NULL)
+  -- mo:reference: one per inventory carrying a reference + one per
+  -- site-level reference list entry
+  UNION ALL SELECT 'mo:reference',
+    (SELECT count(*) FROM irefs) + (SELECT count(*) FROM srefs)
+  UNION ALL SELECT 'mo:date',
+    (SELECT count(*) FROM invs WHERE json_extract(inv, '$.date') IS NOT NULL)
+  UNION ALL SELECT 'mo:zone',
+    (SELECT count(*) FROM invs WHERE json_extract(inv, '$.zone') IS NOT NULL)
+  UNION ALL SELECT 'mo:category',
+    (SELECT coalesce(sum(json_array_length(inv, '$.category')), 0) FROM invs)
+  UNION ALL SELECT 'mo:material_form',
+    (SELECT count(*) FROM invs
+     WHERE json_extract(inv, '$.material_form') IS NOT NULL)
+  UNION ALL SELECT 'mo:grade',
+    (SELECT count(*) FROM invs WHERE json_extract(inv, '$.grade') IS NOT NULL)
+  UNION ALL SELECT 'mo:cutoff_grade',
+    (SELECT count(*) FROM invs
+     WHERE json_extract(inv, '$.cutoff_grade') IS NOT NULL)
+  UNION ALL SELECT 'mo:ore',
+    (SELECT count(*) FROM invs WHERE json_extract(inv, '$.ore') IS NOT NULL)
+  UNION ALL SELECT 'mo:value',
+    (SELECT count(*) FROM meas WHERE json_extract(m, '$.value') IS NOT NULL)
+  UNION ALL SELECT 'mo:unit',
+    (SELECT count(*) FROM meas WHERE json_extract(m, '$.unit') IS NOT NULL)
+  -- each reference call: one mo:document edge; doc dataprops repeat per
+  -- call (the emitter does not dedup shared documents)
+  UNION ALL SELECT 'mo:document', (SELECT count(*) FROM refs)
+  UNION ALL SELECT 'mo:doi',
+    (SELECT count(*) FROM refs
+     WHERE json_extract(r, '$.document.doi') IS NOT NULL)
+  UNION ALL SELECT 'mo:uri',
+    (SELECT count(*) FROM refs
+     WHERE json_extract(r, '$.document.uri') IS NOT NULL)
+  UNION ALL SELECT 'mo:title',
+    (SELECT count(*) FROM refs
+     WHERE json_extract(r, '$.document.title') IS NOT NULL)
+  UNION ALL SELECT 'mo:page_info', (SELECT count(*) FROM pis)
+  UNION ALL SELECT 'mo:page',
+    (SELECT count(*) FROM pis WHERE json_extract(pi, '$.page') IS NOT NULL)
+  UNION ALL SELECT 'mo:bounding_box', (SELECT count(*) FROM bbs)
+  UNION ALL SELECT 'mo:x_min',
+    (SELECT count(*) FROM bbs WHERE json_extract(bb, '$.x_min') IS NOT NULL)
+  UNION ALL SELECT 'mo:x_max',
+    (SELECT count(*) FROM bbs WHERE json_extract(bb, '$.x_max') IS NOT NULL)
+  UNION ALL SELECT 'mo:y_min',
+    (SELECT count(*) FROM bbs WHERE json_extract(bb, '$.y_min') IS NOT NULL)
+  UNION ALL SELECT 'mo:y_max',
+    (SELECT count(*) FROM bbs WHERE json_extract(bb, '$.y_max') IS NOT NULL)
+  UNION ALL SELECT 'mo:comment',
+    (SELECT count(*) FROM refs WHERE json_extract(r, '$.comment') IS NOT NULL)
+  UNION ALL SELECT 'mo:property',
+    (SELECT count(*) FROM refs WHERE json_extract(r, '$.property') IS NOT NULL)
+  -- CandidateEntity dataprops
+  UNION ALL SELECT 'mo:source',
+    (SELECT count(*) FROM ces WHERE json_extract(ce, '$.source') IS NOT NULL)
+  UNION ALL SELECT 'mo:confidence',
+    (SELECT count(*) FROM ces
+     WHERE json_extract(ce, '$.confidence') IS NOT NULL)
+  UNION ALL SELECT 'mo:observed_name',
+    (SELECT count(*) FROM ces
+     WHERE json_extract(ce, '$.observed_name') IS NOT NULL)
+  UNION ALL SELECT 'mo:normalized_uri',
+    (SELECT count(*) FROM ces
+     WHERE json_extract(ce, '$.normalized_uri') IS NOT NULL)
+)
+SELECT pred, CAST(n AS BIGINT) AS n FROM counts WHERE n > 0 ORDER BY pred
+"""
+
+
+def _sameas_inputs(n_sites: int):
+    """Shared INPUT of the same-as flow: site-id nodes, auto-link star
+    edges (grouped mechanically by (source_id, record_id) — J3's input
+    relation, not its join), system chain edges, curated rows."""
+    from ..sources import synthetic
+
+    nodes: list[str] = []
+    by_key: dict[tuple, list[str]] = {}
+    for n in range(n_sites):
+        variants = [(False,)] + ([(True,)] if synthetic.has_expert_dup(n) else [])
+        for (expert,) in variants:
+            sid = synthetic.site_id_of(n, n_sites, expert=expert)
+            nodes.append(sid)
+            key = (
+                synthetic.source_of(n, n_sites),
+                synthetic.record_id_of(n, n_sites),
+            )
+            by_key.setdefault(key, []).append(sid)
+
+    auto_edges = []
+    for ids in by_key.values():
+        if len(ids) > 1:
+            u = min(ids)
+            auto_edges.extend((u, v) for v in ids if v != u)
+
+    system_edges = [
+        (
+            synthetic.site_id_of(n - 1, n_sites),
+            synthetic.site_id_of(n, n_sites),
+        )
+        for n in range(n_sites)
+        if synthetic.cluster_of(n, n_sites)[1] > 0
+    ]
+    curated = synthetic.synthesize_curated_edges(n_sites)
+    return nodes, auto_edges + system_edges, curated
+
+
+def kg_sameas_triples_oracle_sql(n_sites: int) -> str:
+    nodes, edges, curated = _sameas_inputs(n_sites)
+    node_values = ",\n".join(f"({_q(s)})" for s in sorted(set(nodes)))
+    edge_values = ",\n".join(f"({_q(a)}, {_q(b)})" for a, b in edges)
+    cur_values = ",\n".join(
+        f"({_q(r['ms_1'])}, {_q(r['ms_2'])}, {int(r['time_ns'])}, {int(r['is_same'])})"
+        for r in curated
+    )
+    return f"""
+WITH RECURSIVE nodes(node) AS (VALUES
+{node_values}),
+edges0(a, b) AS (VALUES
+{edge_values}),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+-- connected components: min id reachable over undirected edges
+reach(node, canon) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.canon FROM reach r JOIN edges e ON e.a = r.node
+),
+auto_member AS (SELECT node, min(canon) AS component FROM reach GROUP BY node),
+-- curated override (etl/same_as.py:303-307): a positive survives iff NO
+-- negative for the pair has time <= the positive's max time; endpoints of
+-- ALL positives (kept or cancelled) enter the gold graph
+cur(a, b, t, is_same) AS (VALUES
+{cur_values}),
+pos AS (
+  SELECT least(a, b) AS a, greatest(a, b) AS b, max(t) AS t FROM cur
+  WHERE is_same = 1 GROUP BY 1, 2
+),
+neg AS (
+  SELECT least(a, b) AS a, greatest(a, b) AS b, min(t) AS t FROM cur
+  WHERE is_same = 0 GROUP BY 1, 2
+),
+pos_kept AS (
+  SELECT p.a, p.b FROM pos p LEFT JOIN neg n ON n.a = p.a AND n.b = p.b
+  WHERE n.a IS NULL OR n.t > p.t
+),
+gold_nodes AS (SELECT a AS node FROM pos UNION SELECT b FROM pos),
+gedges AS (SELECT a, b FROM pos_kept UNION SELECT b, a FROM pos_kept),
+greach(node, canon) AS (
+  SELECT node, node FROM gold_nodes
+  UNION
+  SELECT e.b, r.canon FROM greach r JOIN gedges e ON e.a = r.node
+),
+gold AS (SELECT node, min(canon) AS component FROM greach GROUP BY node),
+-- replace_group splice (etl/same_as.py:352-381): auto groups touching a
+-- gold member dissolve; non-gold leftovers stay together per old group
+affected AS (
+  SELECT DISTINCT m.component FROM auto_member m
+  JOIN gold g ON g.node = m.node
+),
+untouched AS (
+  SELECT node, component FROM auto_member
+  WHERE component NOT IN (SELECT component FROM affected)
+),
+dissolved AS (
+  SELECT node, component FROM auto_member
+  WHERE component IN (SELECT component FROM affected)
+),
+remainder AS (
+  SELECT d.node, 'rem__' || d.component AS component FROM dissolved d
+  WHERE d.node NOT IN (SELECT node FROM gold)
+),
+newm AS (
+  SELECT node, component FROM untouched
+  UNION ALL SELECT node, component FROM gold
+  UNION ALL SELECT node, component FROM remainder
+),
+-- singleton attach: known sites only; unlinked sites self-group
+known AS (SELECT node, component FROM newm
+          WHERE node IN (SELECT node FROM nodes)),
+singles AS (
+  SELECT node, node AS component FROM nodes
+  WHERE node NOT IN (SELECT node FROM known)
+),
+member AS (SELECT * FROM known UNION ALL SELECT * FROM singles),
+canonm AS (
+  SELECT m.node, l.canon AS component FROM member m
+  JOIN (SELECT component, min(node) AS canon FROM member GROUP BY component) l
+  USING (component)
+),
+sizes AS (SELECT component, count(*) AS n FROM canonm GROUP BY component),
+-- star emission (etl/same_as.py:324-334): canon sameAs member, self-link
+-- only for singletons
+star AS (
+  SELECT 'mr:' || c.component AS subj, 'owl:sameAs' AS pred,
+         'mr:' || c.node AS obj
+  FROM canonm c JOIN sizes s USING (component)
+  WHERE c.node != c.component OR s.n = 1
+)
+SELECT subj, pred, obj FROM star ORDER BY subj, obj
+"""
+
+
+def kg_stats_oracle_sql(n_sites: int) -> str:
+    """Oracle for kg_stats: the reference's three count-by-commodity SPARQL
+    queries (`minmodkg/api/routers/stats.py:105-167`) restated in DuckDB
+    over the inlined raw corpus + commodity vocabulary.
+
+    Identities restated from first principles, no engine code:
+    - an inventory node is unique per (record, index) → count(*);
+    - a site subject is unique per (created_by, source_id, record_id);
+    - a document's identity is its uri, else doi, else (site, title)
+      (`minmodkg/transformations.py:154-170` minting semantics).
+    """
+    from ..sources.vocab import MR, synthetic_vocab
+
+    corpus = ",\n".join(f"({_q(s)})" for s in _corpus_json(n_sites))
+    comm = ",\n".join(
+        f"({_q(MR + r['minmod_id'])}, {_q(r['name'])})"
+        for r in synthetic_vocab()["commodity"]
+    )
+    return f"""
+WITH rec(j) AS (VALUES
+{corpus}),
+commodity(uri, label) AS (VALUES
+{comm}),
+inv0 AS (
+  SELECT json_extract_string(j, '$.created_by') || '|'
+      || json_extract_string(j, '$.source_id') || '|'
+      || json_extract_string(j, '$.record_id') AS site_key,
+    unnest(json_extract(j, '$.mineral_inventory[*]')) AS inv
+  FROM rec
+),
+inv AS (
+  SELECT site_key, inv,
+    json_extract_string(inv, '$.commodity.normalized_uri') AS curi,
+    CASE
+      WHEN json_extract(inv, '$.reference.document.uri') IS NOT NULL
+        THEN 'U:' || json_extract_string(inv, '$.reference.document.uri')
+      WHEN json_extract(inv, '$.reference.document.doi') IS NOT NULL
+        THEN 'D:' || json_extract_string(inv, '$.reference.document.doi')
+      WHEN json_extract(inv, '$.reference.document.title') IS NOT NULL
+        THEN 'T:' || site_key || '|'
+          || json_extract_string(inv, '$.reference.document.title')
+    END AS doc_key
+  FROM inv0
+  WHERE json_extract(inv, '$.commodity.normalized_uri') IS NOT NULL
+)
+SELECT c.uri AS commodity_uri, c.label AS commodity_label,
+       CAST(count(*) AS BIGINT) AS n_inventories,
+       CAST(count(DISTINCT i.site_key) AS BIGINT) AS n_sites,
+       CAST(count(DISTINCT i.doc_key) AS BIGINT) AS n_documents
+FROM inv i JOIN commodity c ON i.curi = c.uri
+GROUP BY c.uri, c.label
+ORDER BY commodity_uri
+"""

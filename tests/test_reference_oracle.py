@@ -340,3 +340,163 @@ def test_merge_mut_parity_vs_reference(ref):
         assert len(wl.get("country", []) or []) == len(gl.get("country", []) or []), i
         checked += 1
     assert checked >= 20, checked
+
+
+def test_select_inventories_fuzz_vs_executed_reference(ref):
+    """A5 tie-break parity (VERDICT r03 #10): the engine's
+    select_inventories_group vs the reference's OWN ``select_inventories``
+    (minmodkg/models/kgrel/dedup_mineral_site.py:316-383) executed on
+    ≥200 random groups per run.
+
+    The kgrel class tree is SQLAlchemy-bound (not importable here), so the
+    method's source is extracted from the reference FILE by AST and exec'd
+    against duck-typed inventories — the decision path that runs is the
+    reference's verbatim code.  SiteScore / ExpertCmpKey / SystemCmpKey
+    ARE imported and executed from the reference (their module is pure)."""
+    import ast
+    import importlib
+    import random
+    from types import SimpleNamespace
+
+    # load the module FILE directly — the custom_types package __init__
+    # pulls in shapely-backed siblings this container doesn't have
+    spec = importlib.util.spec_from_file_location(
+        "ref_site_and_score",
+        "/root/reference/minmodkg/models/kgrel/custom_types/site_and_score.py",
+    )
+    sas = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = sas  # dataclass machinery resolves __module__
+    spec.loader.exec_module(sas)
+    SiteScore, SiteAndScore = sas.SiteScore, sas.SiteAndScore
+
+    src_path = (
+        "/root/reference/minmodkg/models/kgrel/dedup_mineral_site.py"
+    )
+    tree = ast.parse(open(src_path).read())
+    fn = next(
+        node
+        for cls in ast.walk(tree)
+        if isinstance(cls, ast.ClassDef) and cls.name == "DedupMineralSite"
+        for node in cls.body
+        if isinstance(node, ast.FunctionDef) and node.name == "select_inventories"
+    )
+    # strip annotations the exec namespace doesn't carry
+    mod = ast.Module(body=[fn], type_ignores=[])
+    ns = {
+        "TypedDict": __import__("typing").TypedDict,
+        # names the method body touches only inside type expressions
+        "DedupMineralInventoryView": object,
+        "MineralInventoryView": object,
+        "InternalID": str,
+        "bool": bool,
+        "dict": dict,
+        "list": list,
+    }
+    code = compile(ast.fix_missing_locations(mod), src_path, "exec")
+    exec(code, ns)
+    ref_select = ns["select_inventories"]
+
+    class DuckView(SimpleNamespace):
+        pass
+
+    class DuckInv(SimpleNamespace):
+        def to_dedup_view(self, site_id, dedup_site_id):
+            return DuckView(
+                commodity=self.commodity,
+                contained_metal=self.contained_metal,
+                tonnage=self.tonnage,
+                grade=self.grade,
+                date=self.date,
+                site_id=site_id,
+                dedup_site_id=dedup_site_id,
+            )
+
+    from ta2_minmod_kg_spark.operators.dedup import select_inventories_group
+
+    SYS_PREF = "https://minmod.isi.edu/users/s/"
+    rng = random.Random(20260817)
+    dates = [None, "1998", "2005-11", "2010-03-15", "2020-01"]
+    checked_groups = 0
+    for _ in range(250):
+        n_sites = rng.randint(1, 6)
+        sites = []
+        for s in range(n_sites):
+            created_by = (
+                SYS_PREF + "ingestor"
+                if rng.random() < 0.7
+                else "https://minmod.isi.edu/users/u/alice"
+            )
+            sites.append(
+                {
+                    "site_id": f"site{s}",
+                    "created_by": created_by,
+                    "source_id": f"src{rng.randint(0, 2)}",
+                    "record_id": f"rec{rng.randint(0, 3)}",
+                    # unique per site: on a FULL rank-key tie the reference
+                    # falls back to Python sort stability (input order —
+                    # nondeterministic distributed), while the engine
+                    # breaks ties on site_id deterministically (documented
+                    # improvement, operators/dedup.py _rank_key).  Ties on
+                    # source/record remain to exercise the suborder.
+                    "modified_at": rng.randint(1, 5) * 10**9 + s,
+                    "source_score": rng.choice([None, -1.0, 0.3, 0.5, 0.8, 0.8]),
+                }
+            )
+        id_to_invs = {}
+        rows = []
+        for site in sites:
+            invs = []
+            for _j in range(rng.randint(0, 4)):
+                # few commodities + repeated metal values → real ties
+                inv = {
+                    "commodity": f"Q{rng.randint(0, 2)}",
+                    "contained_metal": rng.choice([None, 10.0, 10.0, 25.0]),
+                    "tonnage": rng.choice([None, 5.0]),
+                    "grade": rng.choice([None, 2.0]),
+                    "date": rng.choice(dates),
+                }
+                invs.append(inv)
+            id_to_invs[site["site_id"]] = [DuckInv(**inv) for inv in invs]
+            # engine rows: one per (site × inventory); inventory-less sites
+            # still contribute a ranking row (commodity None)
+            duck = SimpleNamespace(**site)
+            ref_score = SiteScore.get_score(duck)
+            site_row = {
+                "site_id": site["site_id"],
+                "is_expert": ref_score.is_from_user(),
+                "score": ref_score.score,
+                "source_id": site["source_id"],
+                "record_id": site["record_id"],
+                "modified_at": site["modified_at"],
+            }
+            if not invs:
+                rows.append({**site_row, "commodity": None})
+            for inv in invs:
+                rows.append({**site_row, **inv})
+
+        ranked = sorted(
+            (
+                SiteAndScore(
+                    s["site_id"], SiteScore.get_score(SimpleNamespace(**s))
+                )
+                for s in sites
+            ),
+            key=lambda x: x.score,
+            reverse=True,
+        )
+        want = ref_select(
+            SimpleNamespace(ranked_sites=ranked, id="dedup_x"), id_to_invs
+        )
+        got = select_inventories_group("dedup_x", rows)
+
+        want_map = {
+            v.commodity: (v.site_id, v.contained_metal, v.date) for v in want
+        }
+        got_map = {
+            g["commodity"]: (g["site_id"], g["contained_metal"], g["date"])
+            for g in got
+        }
+        assert got_map == want_map, (sites, id_to_invs, got_map, want_map)
+        if want_map:
+            checked_groups += 1
+    assert checked_groups >= 200, checked_groups

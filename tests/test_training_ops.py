@@ -205,3 +205,51 @@ def test_ivf_topk_recall(spark):
         approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
         approx2.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_docs_simhash_invariant_fires_on_corruption(spark, monkeypatch):
+    """The rows-only docs_simhash entry carries in-engine invariants
+    (VERDICT r03 #9); a deliberately corrupted result (hamming off by one)
+    must raise instead of returning silently-green rows."""
+    from ta2_minmod_kg_spark.operators import text_dedup
+    from ta2_minmod_kg_spark.plans import queries as Q
+
+    real = text_dedup.simhash_near_duplicates
+
+    def corrupted(documents, max_hamming=3, nbits=64):
+        return real(documents, max_hamming=max_hamming, nbits=nbits).withColumn(
+            "hamming", F.col("hamming") + 1
+        )
+
+    monkeypatch.setattr(text_dedup, "simhash_near_duplicates", corrupted)
+    with pytest.raises(AssertionError, match="kg invariant"):
+        Q.docs_simhash(spark, "/root/testdata/sf0.001").count()
+
+
+def test_docs_simhash_invariant_fires_on_dropped_twin(spark, monkeypatch, tmp_path):
+    """Dropping a pair that exact-fingerprint twins guarantee (Hamming 0,
+    pigeonhole-caught) must trip the recall lower-bound invariant.
+    Twins are planted in a scratch documents.parquet (sf0.001 has none)."""
+    from ta2_minmod_kg_spark.operators import text_dedup
+    from ta2_minmod_kg_spark.plans import queries as Q
+
+    rows = [(i, f"src{i % 3}", f"unique document text number {i} with words")
+            for i in range(20)]
+    rows += [(100, "src0", "planted twin body"), (101, "src1", "planted twin body")]
+    spark.createDataFrame(
+        rows, schema="doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    real = text_dedup.simhash_near_duplicates
+
+    def dropped(documents, max_hamming=3, nbits=64):
+        out = real(documents, max_hamming=max_hamming, nbits=nbits)
+        return out.filter(F.col("hamming") > 0)  # drop all exact twins
+
+    monkeypatch.setattr(text_dedup, "simhash_near_duplicates", dropped)
+    with pytest.raises(AssertionError, match="exact-twin"):
+        Q.docs_simhash(spark, str(tmp_path)).count()
+    monkeypatch.setattr(text_dedup, "simhash_near_duplicates", real)
+    # un-corrupted run on the same table is clean and contains the twin
+    got = Q.docs_simhash(spark, str(tmp_path)).toPandas()
+    assert ((got["doc_a"] == 100) & (got["doc_b"] == 101)).any()
