@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rdf import format_nanoseconds
 from ..operators.dedup import DEFAULT_SOURCE_SCORE, SYSTEM_PREFIX
 
 # -- makedict equivalents (ref misc/utils.py makedict) -------------------------
@@ -526,3 +527,165 @@ def read_dedup_sites_json(path: str) -> dict:
 
         return json.loads(decompress(open(path, "rb").read()).decode("utf-8"))
     return json.load(open(path))
+
+
+# -- CDR export projection (VERDICT r03 #6) -----------------------------------
+#
+# The reference ships a CriticalMAAS CDR sync whose record reshaping
+# (`minmodkg/integrations/cdr/cdr.py:120-223` format_dedup_site, schemas in
+# `cdr_schemas.py` DedupSite/DedupSiteRecord/DepositTypeCandidate) turns one
+# DedupMineralSitePublic into one CDR DedupSite record PER grade-tonnage
+# commodity.  The HTTP push is out of scope (like K4); the projection is the
+# export view implemented here — parity vs the reference's EXECUTED
+# formatter asserted in tests/test_export.py.
+
+CDR_SYSTEM = "minmod"  # cdr_helper.py:25 default
+CDR_SYSTEM_VERSION = "2.0.0a"
+
+
+def _cdr_site_records(rid: str, dedup_id: str, row: dict) -> list[dict]:
+    recs = [
+        {
+            "id": f"{rid}___{dedup_id}___{m['site_id']}",
+            "mineral_site_id": m["site_id"],
+            "name": "",
+            "country": "",
+            "province": "",
+            "site_rank": "",
+            "site_type": "",
+        }
+        for m in _lst(row.get("ranked_sites"))
+    ]
+    return recs
+
+
+def cdr_records_for_row(
+    row: dict,
+    gts: list[dict],
+    commodity_id2name: dict,
+    country_id2name: dict,
+    province_id2name: dict,
+) -> list[dict]:
+    """format_dedup_site for one merged dedup row + its selected
+    inventories; returns the list of CDR DedupSite dicts (the shape of
+    ``model_dump_json(exclude_none=True)``)."""
+    dedup_id = row["dedup_site_id"]
+    name = (row.get("name") or {}).get("value") or ""
+    site_type = (row.get("type") or {}).get("value") or "NotSpecified"
+    site_rank = (row.get("rank") or {}).get("value") or "U"
+    coords = row.get("coordinates")
+    lat = coords.get("lat") if coords else None
+    lon = coords.get("lon") if coords else None
+    country_ids = [str(x) for x in _lst((row.get("country") or {}).get("value"))]
+    province_ids = [
+        str(x) for x in _lst((row.get("state_or_province") or {}).get("value"))
+    ]
+    # DedupMineralSitePublic.location is None iff everything is empty
+    # (public_dedup_mineral_site.py:133-141); format_dedup_site gates the
+    # centroid and country/province strings on it
+    loc_present = (
+        lat is not None or lon is not None or country_ids or province_ids
+    )
+
+    centroid = ""
+    if loc_present and lat is not None and lon is not None:
+        centroid = f"POINT ({lon} {lat})"  # Python repr floats, like the ref
+
+    dt_cands = [
+        {
+            "observed_name": "",
+            "deposit_type_id": dt["id"],
+            "confidence": _clean(dt["confidence"]),
+            "source": dt["source"],
+        }
+        for dt in _lst(row.get("ranked_deposit_types"))
+    ]
+    modified_at = format_nanoseconds(int(row["modified_at"]))
+
+    # commodity must be unique per record (cdr.py:184-187 assert)
+    assert len({gt["commodity"] for gt in gts}) == len(gts), dedup_id
+
+    out = []
+    for gt in gts:
+        rid = f"{dedup_id}?commodity={gt['commodity']}"
+        sites = _cdr_site_records(rid, dedup_id, row)
+        if sites:
+            sites[0]["name"] = name
+            sites[0]["site_type"] = site_type
+            sites[0]["site_rank"] = site_rank
+            if loc_present:
+                if country_ids:
+                    sites[0]["country"] = ", ".join(
+                        country_id2name[c] for c in country_ids
+                    )
+                if province_ids:
+                    sites[0]["province"] = ", ".join(
+                        province_id2name[p] for p in province_ids
+                    )
+        rec = {
+            "id": rid,
+            "sites": sites,
+            "commodity": commodity_id2name[gt["commodity"]],
+            "contained_metal": _clean(gt.get("contained_metal")),
+            "contained_metal_units": "million tonnes",
+            "tonnage": _clean(gt.get("tonnage")),
+            "tonnage_units": "million tonnes",
+            "grade": _clean(gt.get("grade")),
+            "grade_units": "percent",
+            "crs": "EPSG:4326",
+            "centroid": centroid,
+            "geom": centroid,
+            "deposit_type_candidate": dt_cands,
+            "system": CDR_SYSTEM,
+            "system_version": CDR_SYSTEM_VERSION,
+            "data_snapshot": "",
+            "data_snapshot_date": modified_at,
+        }
+        out.append({k: v for k, v in rec.items() if v is not None})
+    return out
+
+
+def cdr_export_json_rows(
+    dedup_attrs: DataFrame,
+    dedup_invs: DataFrame,
+    commodity_id2name: dict,
+    country_id2name: dict,
+    province_id2name: dict,
+) -> DataFrame:
+    """One JSON row per (dedup site, grade-tonnage commodity) — the CDR
+    collection the reference uploads.  Pure map over the joined merged
+    views (one shuffle for the inventory regroup); the id→name dims ride
+    the task closure (broadcast-sized vocabularies)."""
+    gts = dedup_invs.groupBy("dedup_site_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("commodity", "contained_metal", "tonnage", "grade", "date")
+            )
+        ).alias("_gts")
+    )
+    # inner join: sites with no selected inventory emit no CDR record
+    # (format_dedup_site loops over grade_tonnage)
+    full = dedup_attrs.join(gts, "dedup_site_id")
+
+    def fn(batches):
+        for pdf in batches:
+            ids, comms, docs = [], [], []
+            for r in pdf.to_dict("records"):
+                recs = cdr_records_for_row(
+                    r,
+                    [dict(g) for g in _lst(r.get("_gts"))],
+                    commodity_id2name,
+                    country_id2name,
+                    province_id2name,
+                )
+                for g, rec in zip(_lst(r.get("_gts")), recs):
+                    ids.append(r["dedup_site_id"])
+                    comms.append(g["commodity"])
+                    docs.append(json.dumps(rec, sort_keys=True))
+            yield pd.DataFrame(
+                {"dedup_site_id": ids, "commodity": comms, "json": docs}
+            )
+
+    return full.mapInPandas(
+        fn, schema="dedup_site_id string, commodity string, json string"
+    )

@@ -242,6 +242,24 @@ def _sameas_inputs(n_sites: int):
 
 
 def kg_sameas_triples_oracle_sql(n_sites: int) -> str:
+    return f"""
+WITH RECURSIVE {_membership_ctes(n_sites)},
+sizes AS (SELECT component, count(*) AS n FROM canonm GROUP BY component),
+-- star emission (etl/same_as.py:324-334): canon sameAs member, self-link
+-- only for singletons
+star AS (
+  SELECT 'mr:' || c.component AS subj, 'owl:sameAs' AS pred,
+         'mr:' || c.node AS obj
+  FROM canonm c JOIN sizes s USING (component)
+  WHERE c.node != c.component OR s.n = 1
+)
+SELECT subj, pred, obj FROM star ORDER BY subj, obj
+"""
+
+
+def _membership_ctes(n_sites: int) -> str:
+    """The shared G1-G5 membership program (nodes → canonm), used by both
+    the sameas and the dedup-merge oracles."""
     nodes, edges, curated = _sameas_inputs(n_sites)
     node_values = ",\n".join(f"({_q(s)})" for s in sorted(set(nodes)))
     edge_values = ",\n".join(f"({_q(a)}, {_q(b)})" for a, b in edges)
@@ -249,22 +267,17 @@ def kg_sameas_triples_oracle_sql(n_sites: int) -> str:
         f"({_q(r['ms_1'])}, {_q(r['ms_2'])}, {int(r['time_ns'])}, {int(r['is_same'])})"
         for r in curated
     )
-    return f"""
-WITH RECURSIVE nodes(node) AS (VALUES
+    return f"""nodes(node) AS (VALUES
 {node_values}),
 edges0(a, b) AS (VALUES
 {edge_values}),
 edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
--- connected components: min id reachable over undirected edges
 reach(node, canon) AS (
   SELECT node, node FROM nodes
   UNION
   SELECT e.b, r.canon FROM reach r JOIN edges e ON e.a = r.node
 ),
 auto_member AS (SELECT node, min(canon) AS component FROM reach GROUP BY node),
--- curated override (etl/same_as.py:303-307): a positive survives iff NO
--- negative for the pair has time <= the positive's max time; endpoints of
--- ALL positives (kept or cancelled) enter the gold graph
 cur(a, b, t, is_same) AS (VALUES
 {cur_values}),
 pos AS (
@@ -287,8 +300,6 @@ greach(node, canon) AS (
   SELECT e.b, r.canon FROM greach r JOIN gedges e ON e.a = r.node
 ),
 gold AS (SELECT node, min(canon) AS component FROM greach GROUP BY node),
--- replace_group splice (etl/same_as.py:352-381): auto groups touching a
--- gold member dissolve; non-gold leftovers stay together per old group
 affected AS (
   SELECT DISTINCT m.component FROM auto_member m
   JOIN gold g ON g.node = m.node
@@ -310,7 +321,6 @@ newm AS (
   UNION ALL SELECT node, component FROM gold
   UNION ALL SELECT node, component FROM remainder
 ),
--- singleton attach: known sites only; unlinked sites self-group
 known AS (SELECT node, component FROM newm
           WHERE node IN (SELECT node FROM nodes)),
 singles AS (
@@ -322,18 +332,147 @@ canonm AS (
   SELECT m.node, l.canon AS component FROM member m
   JOIN (SELECT component, min(node) AS canon FROM member GROUP BY component) l
   USING (component)
+)"""
+
+
+def kg_dedup_sites_oracle_sql(n_sites: int) -> str:
+    """Oracle for the FLAGSHIP kg_dedup_sites entry: membership (shared
+    G1-G5 program), SiteScore ranking, first-non-null name merge, and the
+    A4 top-1 deposit type — all restated in DuckDB over the inlined raw
+    corpus + data-source vocabulary.
+
+    Restated semantics (independent of engine code):
+    - SiteScore (`kgrel/custom_types/site_and_score.py:50-60`): experts
+      (non-system created_by) score 1.0; systems
+      ``min(max-of(source score if >= 0, else 0.5-default), 0.99)``;
+      rank order = (score, is_expert, source_id, record_id, modified_at,
+      site_id) DESC — the engine's deterministic site_id tie-break.
+    - name: first non-null in rank order with provenance refid
+      (`ref_value.py:22-29`).
+    - top-1 deposit type (`dedup_mineral_site.py:460-493`): per dt dedup
+      keeping max (confidence, site rank) with strict-greater replace;
+      final order (key DESC, first-appearance ASC).
+    - modified_at: max of the reference's float-nanosecond parse
+      (`misc/utils.py:162-171` — double seconds × 1e9, truncated).
+    """
+    from ..sources import synthetic
+    from ..sources.vocab import synthetic_vocab
+
+    recs = []
+    for n in range(n_sites):
+        recs.append(
+            (
+                synthetic.site_id_of(n, n_sites),
+                json.dumps(synthetic.make_record(n, n_sites), sort_keys=True),
+            )
+        )
+        if synthetic.has_expert_dup(n):
+            recs.append(
+                (
+                    synthetic.site_id_of(n, n_sites, expert=True),
+                    json.dumps(
+                        synthetic.make_record(n, n_sites, expert=True),
+                        sort_keys=True,
+                    ),
+                )
+            )
+    rec_values = ",\n".join(f"({_q(s)}, {_q(j)})" for s, j in recs)
+    ds_values = ",\n".join(
+        f"({_q(r['uri'])}, {_sql_vocab_score(r['score'])})"
+        for r in synthetic_vocab()["data_source"]
+    )
+    mr = "https://minmod.isi.edu/resource/"
+    sys_prefix = "https://minmod.isi.edu/users/s/"
+    return f"""
+WITH RECURSIVE {_membership_ctes(n_sites)},
+rec(site_id, j) AS (VALUES
+{rec_values}),
+ds(uri, score) AS (VALUES
+{ds_values}),
+site AS (
+  SELECT r.site_id, c.component,
+    json_extract_string(r.j, '$.name') AS name,
+    json_extract_string(r.j, '$.created_by') AS created_by,
+    json_extract_string(r.j, '$.source_id') AS source_id,
+    json_extract_string(r.j, '$.record_id') AS record_id,
+    CAST(trunc(epoch(strptime(json_extract_string(r.j, '$.modified_at'),
+        '%Y-%m-%dT%H:%M:%S.%fZ')) * 1e9) AS BIGINT) AS ts,
+    r.j AS j
+  FROM rec r JOIN canonm c ON c.node = r.site_id
 ),
-sizes AS (SELECT component, count(*) AS n FROM canonm GROUP BY component),
--- star emission (etl/same_as.py:324-334): canon sameAs member, self-link
--- only for singletons
-star AS (
-  SELECT 'mr:' || c.component AS subj, 'owl:sameAs' AS pred,
-         'mr:' || c.node AS obj
-  FROM canonm c JOIN sizes s USING (component)
-  WHERE c.node != c.component OR s.n = 1
+scored AS (
+  SELECT *,
+    (created_by NOT LIKE '{sys_prefix}%') AS is_expert,
+    CASE WHEN created_by NOT LIKE '{sys_prefix}%' THEN 1.0
+         ELSE least(coalesce(
+           (SELECT d.score FROM ds d
+            WHERE d.uri = source_id AND d.score >= 0), 0.5), 0.99)
+    END AS score
+  FROM site
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY component
+    ORDER BY score DESC, is_expert DESC,
+      CASE WHEN is_expert THEN '' ELSE source_id END DESC,
+      CASE WHEN is_expert THEN '' ELSE record_id END DESC,
+      ts DESC, site_id DESC
+  ) - 1 AS rank_i
+  FROM scored
+),
+cands0 AS (
+  SELECT component, site_id, rank_i,
+    unnest(json_extract(j, '$.deposit_type_candidate[*]')) AS cand,
+    unnest(generate_series(1,
+      coalesce(json_array_length(j, '$.deposit_type_candidate'), 0)::INT)) AS jdx
+  FROM ranked
+),
+cands AS (
+  SELECT component, site_id, rank_i, jdx,
+    CASE WHEN json_extract_string(cand, '$.normalized_uri') LIKE '{mr}%'
+         THEN substr(json_extract_string(cand, '$.normalized_uri'),
+                     {len(mr) + 1})
+         ELSE json_extract_string(cand, '$.normalized_uri') END AS dt_id,
+    json_extract(cand, '$.confidence')::DOUBLE AS conf
+  FROM cands0
+  WHERE json_extract(cand, '$.normalized_uri') IS NOT NULL
+),
+-- A4 key = (confidence, -rank_i) with strict-greater replace: per dt
+-- keep the (conf DESC, rank ASC, candidate-index ASC) winner
+best_per_dt AS (
+  SELECT component, dt_id, conf AS best_conf, rank_i AS best_rank,
+         min(rank_i * 1000000 + jdx)
+           OVER (PARTITION BY component, dt_id) AS first_seen
+  FROM cands
+  QUALIFY row_number() OVER (
+    PARTITION BY component, dt_id
+    ORDER BY conf DESC, rank_i ASC, jdx ASC) = 1
+),
+top1 AS (
+  SELECT component, dt_id FROM best_per_dt
+  QUALIFY row_number() OVER (
+    PARTITION BY component
+    ORDER BY best_conf DESC, best_rank ASC, first_seen ASC) = 1
+),
+grp AS (
+  SELECT component,
+    min_by(name, rank_i) FILTER (WHERE name IS NOT NULL) AS name,
+    min_by(site_id, rank_i) FILTER (WHERE name IS NOT NULL) AS name_ref,
+    count(*) AS n_sites,
+    max(ts) AS modified_at
+  FROM ranked GROUP BY component
 )
-SELECT subj, pred, obj FROM star ORDER BY subj, obj
+SELECT 'dedup_' || g.component AS dedup_site_id, g.name, g.name_ref,
+       t.dt_id AS top1_deposit_type,
+       CAST(g.n_sites AS BIGINT) AS n_sites,
+       CAST(g.modified_at AS BIGINT) AS modified_at
+FROM grp g LEFT JOIN top1 t USING (component)
+ORDER BY dedup_site_id
 """
+
+
+def _sql_vocab_score(v):
+    return "NULL" if v is None else repr(float(v))
 
 
 def kg_stats_oracle_sql(n_sites: int) -> str:

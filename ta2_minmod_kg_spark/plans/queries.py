@@ -467,7 +467,10 @@ def docs_simhash(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     out = simhash_near_duplicates(d, max_hamming=3).orderBy("doc_a", "doc_b")
-    out = out.persist()
+    # localCheckpoint, not persist: the result feeds 3 invariant actions +
+    # the return; checkpoint blocks are reclaimed once callers drop the
+    # DataFrame (persist would pin cache entries for the session)
+    out = out.localCheckpoint(eager=True)
 
     # independent Hamming recomputation from packed signatures
     packed = None
@@ -984,7 +987,7 @@ def kg_dedup_sites(spark, sf_dir):
         F.col("name.value").alias("name"),
         F.col("name.refid").alias("name_ref"),
         "top1_deposit_type",
-        F.size("ranked_sites").alias("n_sites"),
+        F.size("ranked_sites").cast("long").alias("n_sites"),
         "modified_at",
     ).orderBy("dedup_site_id")
     chk = out.agg(
@@ -1473,6 +1476,7 @@ ORACLE_SQL = {
 # kg_* VALUES oracles (plans/kg_oracles.py): the deterministic corpus is the
 # shared input; the semantics are restated in independent DuckDB SQL.
 from .kg_oracles import (  # noqa: E402
+    kg_dedup_sites_oracle_sql,
     kg_sameas_triples_oracle_sql,
     kg_stats_oracle_sql,
     kg_triples_oracle_sql,
@@ -1481,3 +1485,4 @@ from .kg_oracles import (  # noqa: E402
 ORACLE_SQL["kg_triples"] = kg_triples_oracle_sql(_KG_N)
 ORACLE_SQL["kg_sameas_triples"] = kg_sameas_triples_oracle_sql(_KG_N)
 ORACLE_SQL["kg_stats"] = kg_stats_oracle_sql(_KG_N)
+ORACLE_SQL["kg_dedup_sites"] = kg_dedup_sites_oracle_sql(_KG_N)

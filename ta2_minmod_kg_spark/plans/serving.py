@@ -207,3 +207,100 @@ def lod_closure(triples: DataFrame, subj: str, max_iters: int = 64) -> DataFrame
     for df in cached:
         df.unpersist()
     return out
+
+
+# -- Q4b: LOD entity JSON tree (ref api/routers/lod.py:207-257) ---------------
+
+_LIT_RE = None
+
+
+def _parse_term(term: str):
+    """N3 text term → ('uri', full_uri) | ('lit', python_value)."""
+    from ..functions.rdf import PREFIXES
+
+    if term.startswith("<") and term.endswith(">"):
+        return "uri", term[1:-1]
+    if term.startswith('"'):
+        if term.endswith('"'):
+            body, dt = term[1:-1], None
+        else:
+            q = term.rindex('"^^')
+            body, dt = term[1:q], term[q + 3 :]
+        # reverse of functions/rdf.py _ESCAPES (single-pass)
+        import re
+
+        body = re.sub(
+            r"\\(.)",
+            lambda m: {"n": "\n", "r": "\r", "t": "\t", '"': '"', "\\": "\\"}.get(
+                m.group(1), m.group(1)
+            ),
+            body,
+        )
+        if dt == "xsd:integer":
+            return "lit", int(body)
+        if dt == "xsd:decimal":
+            return "lit", float(body)
+        if dt == "xsd:boolean":
+            return "lit", body == "true"
+        return "lit", body
+    pfx, _, local = term.partition(":")
+    if pfx in PREFIXES:
+        return "uri", PREFIXES[pfx] + local
+    return "uri", term
+
+
+def _pred_label(pred: str) -> str:
+    if pred == "rdfs:label":
+        return "@label"
+    if pred == "rdf:type":
+        return "@type"
+    return pred.rsplit(":", 1)[-1]
+
+
+def lod_entity_json(closure: DataFrame, subj: str) -> dict:
+    """Q4b: the reference's ``render_entity_json``
+    (`minmodkg/api/routers/lod.py:207-257`) over the engine's LOD closure:
+    nested JSON tree rooted at ``subj``, literals as python values, cycle
+    guard via a visited set (revisited nodes render as ``@id``
+    [+``@label``] stubs), single-valued predicates inlined, multi-valued
+    as lists.
+
+    Determinism divergence (documented): rdflib iterates predicates in
+    store-insertion order, which is nondeterministic for a distributed
+    engine; this version sorts predicates and objects, so trees are
+    stable across runs.  The closure is one site's subgraph — bounded by
+    reachability, not corpus size — so the driver-side recursion is the
+    right execution venue (the reference does the same in its API
+    process).
+    """
+    rows = closure.select("subj", "pred", "obj").collect()
+    adj: dict[str, dict[str, list[str]]] = {}
+    labels: dict[str, str] = {}
+    for r in rows:
+        adj.setdefault(r["subj"], {}).setdefault(r["pred"], []).append(r["obj"])
+        if r["pred"] == "rdfs:label":
+            labels[r["subj"]] = r["obj"]
+
+    def make_tree(term: str, visited: set) -> object:
+        kind, val = _parse_term(term)
+        if kind == "lit":
+            return val
+        out: dict = {"@id": val}
+        if term in visited:
+            if term in labels:
+                out["@label"] = _parse_term(labels[term])[1]
+            return out
+        visited.add(term)
+        for pred in sorted(adj.get(term, {})):
+            objs = sorted(adj[term][pred])
+            fmt = [make_tree(o, visited) for o in objs]
+            out[_pred_label(pred)] = fmt[0] if len(fmt) == 1 else fmt
+        return out
+
+    root: dict = {"@id": _parse_term(subj)[1]}
+    visited = {subj}
+    for pred in sorted(adj.get(subj, {})):
+        objs = sorted(adj[subj][pred])
+        fmt = [make_tree(o, visited) for o in objs]
+        root[_pred_label(pred)] = fmt[0] if len(fmt) == 1 else fmt
+    return root

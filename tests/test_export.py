@@ -82,11 +82,11 @@ def exported(spark):
         ),
     }
     doc = dedup_sites_json(out)
-    return recs, doc
+    return recs, doc, out
 
 
 def test_sections_and_counts(exported):
-    recs, doc = exported
+    recs, doc, _ = exported
     assert set(doc) == set(SECTIONS)
     assert len(doc["MineralSite"]) == len(recs)
     assert len(doc["MineralInventoryView"]) == len(recs)
@@ -100,7 +100,7 @@ def test_sections_and_counts(exported):
 
 def test_mineral_site_rows_roundtrip_raw(exported):
     """Exported nested content == shapers over the RAW fixture dict."""
-    recs, doc = exported
+    recs, doc, _ = exported
     by_id = {ms["site_id"]: ms for ms in doc["MineralSite"]}
     for raw in recs:
         sid = make_site_id(
@@ -127,7 +127,7 @@ def test_mineral_site_rows_roundtrip_raw(exported):
 
 
 def test_dedup_rows_shape(exported):
-    _, doc = exported
+    _, doc, _ = exported
     allowed = {
         "id", "name", "type", "rank", "deposit_types", "coordinates",
         "country", "state_or_province", "mineral_form", "geology_info",
@@ -154,7 +154,7 @@ def test_dedup_rows_shape(exported):
 
 
 def test_inventory_view_rows(exported):
-    recs, doc = exported
+    recs, doc, _ = exported
     for entry in doc["MineralInventoryView"]:
         assert set(entry) == {"invs", "site"}
         for inv in entry["invs"]:
@@ -219,3 +219,147 @@ def test_write_read_dedup_sites_json_both_layouts(exported, tmp_path, spark):
     assert a == b and set(a) == set(SECTIONS) and len(a["MineralSite"]) >= 30
     # the lz4 file is a real frame (magic) readable by any lz4 tool
     assert open(packed, "rb").read(4) == b"\x04\x22\x4d\x18"
+
+
+def _ref_format_dedup_site():
+    """The reference's EXECUTED format_dedup_site
+    (integrations/cdr/cdr.py:120-223): cdr_schemas.py is imported directly
+    (pure pydantic); the formatter function is extracted from cdr.py by
+    AST because the module's top-level imports (httpx/serde/loguru) are
+    not in this container."""
+    import ast
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_cdr_schemas",
+        "/root/reference/minmodkg/integrations/cdr/cdr_schemas.py",
+    )
+    schemas = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = schemas
+    spec.loader.exec_module(schemas)
+
+    src = "/root/reference/minmodkg/integrations/cdr/cdr.py"
+    tree = ast.parse(open(src).read())
+    fn = next(
+        n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "format_dedup_site"
+    )
+    ns = {
+        "DedupSite": schemas.DedupSite,
+        "DedupSiteRecord": schemas.DedupSiteRecord,
+        "DepositTypeCandidate": schemas.DepositTypeCandidate,
+        "MINMOD_SYSTEM": "minmod",  # cdr_helper.py:25 default
+        "DedupMineralSitePublic": object,
+        "InternalID": str,
+        "list": list,
+        "dict": dict,
+    }
+    mod = ast.Module(body=[fn], type_ignores=[])
+    exec(compile(ast.fix_missing_locations(mod), src, "exec"), ns)
+    return ns["format_dedup_site"]
+
+
+def test_cdr_export_parity_vs_executed_reference(exported, spark):
+    """CDR projection parity on the reference fixture corpus: the engine's
+    cdr_export_json_rows must be field-identical to the reference's own
+    format_dedup_site run on the same merged dedup views."""
+    from types import SimpleNamespace
+
+    from ta2_minmod_kg_spark.functions.rdf import format_nanoseconds
+    from ta2_minmod_kg_spark.plans.export import cdr_export_json_rows
+
+    _, _, out = exported
+    fmt = _ref_format_dedup_site()
+
+    # id→name dims: the fixture corpus references the real minmod
+    # vocabulary (ids the synthetic vocab lacks); the maps are an INPUT to
+    # both formatters, so cover every id present with deterministic names
+    # (the reference would use MinmodHelper.get_*_id2name here)
+    v = vocab.synthetic_vocab()
+    commodity_id2name = {r["minmod_id"]: r["name"] for r in v["commodity"]}
+    country_id2name = {r["minmod_id"]: r["name"] for r in v["country"]}
+    province_id2name = {r["minmod_id"]: r["name"] for r in v["state_or_province"]}
+    for r in out["dedup_inventories"].select("commodity").distinct().collect():
+        commodity_id2name.setdefault(r["commodity"], f"commodity {r['commodity']}")
+    for r in out["dedup_sites"].collect():
+        for c in (r["country"] or {})["value"] or []:
+            country_id2name.setdefault(str(c), f"country {c}")
+        for p in (r["state_or_province"] or {})["value"] or []:
+            province_id2name.setdefault(str(p), f"province {p}")
+
+    got_rows = cdr_export_json_rows(
+        out["dedup_sites"],
+        out["dedup_inventories"],
+        commodity_id2name,
+        country_id2name,
+        province_id2name,
+    ).collect()
+    got = {
+        (r["dedup_site_id"], r["commodity"]): json.loads(r["json"])
+        for r in got_rows
+    }
+
+    # reference path: duck DedupMineralSitePublic from the same merged rows
+    merged = {r["dedup_site_id"]: r for r in out["dedup_sites"].collect()}
+    invs_by = {}
+    for r in out["dedup_inventories"].collect():
+        invs_by.setdefault(r["dedup_site_id"], []).append(r)
+
+    want = {}
+    n_src_records = 0
+    for did, row in merged.items():
+        gts = sorted(invs_by.get(did, []), key=lambda r: r["commodity"])
+        coords = row["coordinates"]
+        country_ids = list((row["country"] or {})["value"] or [])
+        prov_ids = list((row["state_or_province"] or {})["value"] or [])
+        loc = SimpleNamespace(
+            lat=coords["lat"] if coords else None,
+            lon=coords["lon"] if coords else None,
+            country=country_ids,
+            state_or_province=prov_ids,
+        )
+        loc_empty = (
+            loc.lat is None
+            and loc.lon is None
+            and not country_ids
+            and not prov_ids
+        )
+        duck = SimpleNamespace(
+            id=did,
+            name=(row["name"]["value"] if row["name"] else ""),
+            type=(row["type"]["value"] if row["type"] else "NotSpecified"),
+            rank=(row["rank"]["value"] if row["rank"] else "U"),
+            sites=[
+                SimpleNamespace(id=m["site_id"], score=m["score"])
+                for m in row["ranked_sites"]
+            ],
+            deposit_types=[
+                SimpleNamespace(
+                    id=dt["id"], confidence=dt["confidence"], source=dt["source"]
+                )
+                for dt in (row["ranked_deposit_types"] or [])
+            ],
+            location=None if loc_empty else loc,
+            grade_tonnage=[
+                SimpleNamespace(
+                    commodity=g["commodity"],
+                    total_contained_metal=g["contained_metal"],
+                    total_tonnage=g["tonnage"],
+                    total_grade=g["grade"],
+                )
+                for g in gts
+            ],
+            modified_at=format_nanoseconds(int(row["modified_at"])),
+        )
+        for rec in fmt(duck, commodity_id2name, country_id2name, province_id2name):
+            d = json.loads(rec.model_dump_json(exclude_none=True))
+            commodity_id = d["id"].split("?commodity=")[1]
+            want[(did, commodity_id)] = d
+            n_src_records += 1
+
+    assert n_src_records > 0
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == want[key], (key, got[key], want[key])

@@ -84,3 +84,88 @@ def test_lod_closure_on_corpus_site(spark):
     assert got == _oracle(rows, start)
     assert any(p == "mo:reference" or p.startswith("mo:") for _, p, _ in got)
     assert len(got) > 5
+
+
+def test_lod_entity_json_tree(spark):
+    """Q4b render_entity_json (ref api/routers/lod.py:207-257) against a
+    hand-computed tree over a hostile subgraph: a cycle (revisited node →
+    @id/@label stub), a multi-valued predicate (list), typed literals
+    (int/decimal/boolean), an absolute-uri node, and rdf:type/rdfs:label
+    relabeling to @type/@label."""
+    from ta2_minmod_kg_spark.plans.serving import lod_entity_json
+
+    rows = [
+        ("mr:site1", "rdf:type", "mo:MineralSite"),
+        ("mr:site1", "rdfs:label", '"Main \\"Site\\""'),
+        ("mr:site1", "mo:year", '"1912"^^xsd:integer'),
+        ("mr:site1", "mo:score", '"0.5"^^xsd:decimal'),
+        ("mr:site1", "mo:flag", '"true"^^xsd:boolean'),
+        ("mr:site1", "mo:aliases", '"a1"'),
+        ("mr:site1", "mo:aliases", '"a2"'),
+        ("mr:site1", "mo:child", "mr:inv1"),
+        ("mr:inv1", "rdf:type", "mo:MineralInventory"),
+        ("mr:inv1", "mo:doc", "<https://docs.example.org/d1>"),
+        ("mr:inv1", "mo:parent", "mr:site1"),  # cycle back to the root
+        ("<https://docs.example.org/d1>", "rdfs:label", '"Doc One"'),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = lod_entity_json(df, "mr:site1")
+    MR = "https://minmod.isi.edu/resource/"
+    assert got == {
+        "@id": MR + "site1",
+        "@type": {"@id": "https://minmod.isi.edu/ontology/MineralSite"},
+        "@label": 'Main "Site"',
+        "year": 1912,
+        "score": 0.5,
+        "flag": True,
+        "aliases": ["a1", "a2"],
+        "child": {
+            "@id": MR + "inv1",
+            "@type": {"@id": "https://minmod.isi.edu/ontology/MineralInventory"},
+            "doc": {
+                "@id": "https://docs.example.org/d1",
+                "@label": "Doc One",
+            },
+            # cycle: the root is already visited → @id (+@label) stub
+            "parent": {"@id": MR + "site1", "@label": 'Main "Site"'},
+        },
+    }, got
+
+
+def test_lod_entity_json_on_corpus_closure(spark):
+    """The tree over a real synthetic-corpus closure: root is the start
+    subject, every nested node dict carries @id, and every triple of the
+    closure's root appears in the tree."""
+    from pyspark.sql import functions as F
+
+    from ta2_minmod_kg_spark.operators import extract
+    from ta2_minmod_kg_spark.plans.serving import lod_closure, lod_entity_json
+    from ta2_minmod_kg_spark.sources import synthetic
+
+    ingest = synthetic.synthesize_ingest(spark, 20, partitions=2)
+    triples = extract.extract_triples(ingest).select("subj", "pred", "obj")
+    start = (
+        triples.filter(F.col("pred") == "mo:source_id")
+        .orderBy("subj")
+        .first()["subj"]
+    )
+    closure = lod_closure(triples, start)
+    tree = lod_entity_json(closure, start)
+    assert tree["@id"].endswith(start.split(":", 1)[1])
+    n_root_preds = (
+        closure.filter(F.col("subj") == start).select("pred").distinct().count()
+    )
+    assert len(tree) == n_root_preds + 1  # +1 for @id
+
+    def walk(node):
+        if isinstance(node, dict):
+            assert "@id" in node, node
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    for k, v in tree.items():
+        if k != "@id":
+            walk(v)
