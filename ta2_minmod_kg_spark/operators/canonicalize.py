@@ -280,26 +280,32 @@ def build_membership(
         F.col("u").cast("string"), F.col("v").cast("string")
     ).localCheckpoint(eager=True)
 
-    if (
-        raw.count() <= driver_finish_threshold
-        and sites_rel.select("site_id").count() <= driver_finish_threshold
-    ):
-        site_ids = [r[0] for r in sites_rel.select("site_id").collect()]
-        pairs = [(r["u"], r["v"]) for r in raw.collect()]
-        rows = curated.collect() if curated is not None else None
-        member = _driver_membership(pairs, rows, site_ids)
-        import pandas as pd
+    if raw.count() <= driver_finish_threshold:
+        # Arrow-path transfers (toPandas), not row collect(): py4j row
+        # deserialization costs ~1-2 s per 100k narrow rows and is pure
+        # scale-invariant driver tail in the scaling probes; Arrow moves
+        # the same columns in ~100 ms.  The single toPandas also replaces
+        # the separate count() pre-check job (one fewer fixed-latency
+        # Spark job per pipeline run).
+        ids_pdf = sites_rel.select("site_id").toPandas()
+        if len(ids_pdf) <= driver_finish_threshold:
+            site_ids = ids_pdf["site_id"].tolist()
+            edges_pdf = raw.toPandas()
+            pairs = list(zip(edges_pdf["u"].tolist(), edges_pdf["v"].tolist()))
+            rows = curated.collect() if curated is not None else None
+            member = _driver_membership(pairs, rows, site_ids)
+            import pandas as pd
 
-        pdf = pd.DataFrame(
-            {
-                "site_id": list(member.keys()),
-                "dedup_site_id": ["dedup_" + c for c in member.values()],
-            },
-            dtype="object",
-        )
-        return spark.createDataFrame(
-            pdf, schema="site_id string, dedup_site_id string"
-        )
+            pdf = pd.DataFrame(
+                {
+                    "site_id": list(member.keys()),
+                    "dedup_site_id": ["dedup_" + c for c in member.values()],
+                },
+                dtype="object",
+            )
+            return spark.createDataFrame(
+                pdf, schema="site_id string, dedup_site_id string"
+            )
 
     membership = connected_components(
         raw, driver_finish_threshold=driver_finish_threshold

@@ -120,8 +120,15 @@ def _union_find(spark, pairs) -> DataFrame:
     return spark.createDataFrame(pdf, schema="u string, v string")
 
 
+def _edge_pairs(e: DataFrame):
+    # Arrow transfer (toPandas), not row collect(): py4j row
+    # deserialization is ~1-2 s per 100k rows of pure driver tail
+    pdf = e.select("u", "v").toPandas()
+    return zip(pdf["u"].tolist(), pdf["v"].tolist())
+
+
 def _union_find_finish(e: DataFrame) -> DataFrame:
-    return _union_find(e.sparkSession, ((r["u"], r["v"]) for r in e.collect()))
+    return _union_find(e.sparkSession, _edge_pairs(e))
 
 
 def connected_components(
@@ -152,9 +159,9 @@ def connected_components(
     # membership stage at small inputs; at production scale this branch
     # simply never fires)
     if raw.count() <= driver_finish_threshold:
-        return _union_find(
-            raw.sparkSession, ((r["u"], r["v"]) for r in raw.collect())
-        ).select(F.col("u").alias("node"), F.col("v").alias("component"))
+        return _union_find(raw.sparkSession, _edge_pairs(raw)).select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
 
     all_nodes = _nbrs_both_dirs(raw).select(F.col("u").alias("node")).distinct()
     e = raw.filter(F.col("u") != F.col("v")).distinct()

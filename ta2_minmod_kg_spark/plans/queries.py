@@ -869,6 +869,84 @@ def emb_lsh_neardups(spark, sf_dir):
     )
 
 
+def emb_dedup_groups(spark, sf_dir):
+    """Embedding dedup-map: near-dup pairs → connected components →
+    one canonical representative per group — the keep/drop table a
+    training-data pipeline consumes downstream of near-dup detection.
+
+    Same planted-twin table as emb_lsh_neardups; groups come from the
+    engine's large/small-star CC (operators/connected_components.py), so
+    the oracle (exact all-pairs + recursive-CTE CC in DuckDB) checks the
+    LSH recall AND the component algebra in one hash."""
+    from ..operators.connected_components import connected_components
+    from ..operators.similarity import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = e.filter(F.col("vec_id") % 53 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(1e-6)).otherwise(x),
+        ).alias("embedding"),
+    )
+    full = e.unionAll(twins)
+    pairs = embedding_near_duplicates(full, threshold=0.99).select(
+        F.col("id_a").cast("string").alias("u"),
+        F.col("id_b").cast("string").alias("v"),
+    )
+    cc = connected_components(pairs)
+    ids = full.select(F.col("vec_id").cast("string").alias("node"))
+    member = ids.join(cc, "node", "left").select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.coalesce(F.col("component").cast("long"), F.col("node").cast("long")).alias(
+            "_comp_raw"
+        ),
+    )
+    # CC component labels are min STRING ids; relabel to min NUMERIC id so
+    # the group id is stable regardless of the engine's internal encoding
+    relabel = member.groupBy("_comp_raw").agg(F.min("vec_id").alias("group_id"))
+    out = (
+        member.join(relabel, "_comp_raw")
+        .select(
+            "vec_id",
+            "group_id",
+            (F.col("vec_id") == F.col("group_id")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
+    return out
+
+
+EMB_DEDUP_GROUPS_SQL = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), planted AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_prepend(v[1] + 1e-6, v[2:]) AS v
+  FROM base WHERE vec_id % 53 = 0
+), pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+), edges AS (
+  SELECT ida AS a, idb AS b FROM pairs
+  UNION SELECT idb, ida FROM pairs
+), reach(node, canon) AS (
+  SELECT vec_id, vec_id FROM planted
+  UNION
+  SELECT e.b, r.canon FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT CAST(node AS BIGINT) AS vec_id,
+       CAST(min(canon) AS BIGINT) AS group_id,
+       (node = min(canon)) AS is_canonical
+FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
 EMB_LSH_SQL = """
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1435,6 +1513,7 @@ QUERIES = {
     "emb_ivf_topk": emb_ivf_topk,
     "emb_ivf_topk_exact": emb_ivf_topk_exact,
     "emb_lsh_neardups": emb_lsh_neardups,
+    "emb_dedup_groups": emb_dedup_groups,
     "emb_label_centroid_sim": emb_label_centroid_sim,
     "kg_dedup_sites": kg_dedup_sites,
     "kg_triples": kg_triples,
@@ -1470,6 +1549,7 @@ ORACLE_SQL = {
     "emb_topk_cosine": EMB_TOPK_SQL,
     "emb_ivf_topk_exact": EMB_TOPK_SQL,
     "emb_lsh_neardups": EMB_LSH_SQL,
+    "emb_dedup_groups": EMB_DEDUP_GROUPS_SQL,
     "emb_label_centroid_sim": EMB_CENTROID_SQL,
 }
 
