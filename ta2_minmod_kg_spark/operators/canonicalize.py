@@ -284,10 +284,18 @@ def build_membership(
         # Arrow-path transfers (toPandas), not row collect(): py4j row
         # deserialization costs ~1-2 s per 100k narrow rows and is pure
         # scale-invariant driver tail in the scaling probes; Arrow moves
-        # the same columns in ~100 ms.  The single toPandas also replaces
-        # the separate count() pre-check job (one fewer fixed-latency
-        # Spark job per pipeline run).
-        ids_pdf = sites_rel.select("site_id").toPandas()
+        # the same columns in ~100 ms.  The limit(threshold+1) bounds the
+        # transfer: with few edges but many sites (sparse duplication at
+        # production scale) an unguarded toPandas would ship the whole
+        # site_id column to the driver only to discard it — the limited
+        # read returns ALL rows iff the table fits the threshold (a limit
+        # larger than the table is the table), so one bounded job both
+        # sizes the input and fetches it.
+        ids_pdf = (
+            sites_rel.select("site_id")
+            .limit(driver_finish_threshold + 1)
+            .toPandas()
+        )
         if len(ids_pdf) <= driver_finish_threshold:
             site_ids = ids_pdf["site_id"].tolist()
             edges_pdf = raw.toPandas()

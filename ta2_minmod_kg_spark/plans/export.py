@@ -543,6 +543,18 @@ CDR_SYSTEM = "minmod"  # cdr_helper.py:25 default
 CDR_SYSTEM_VERSION = "2.0.0a"
 
 
+def _strip_none(v):
+    """Recursive None-removal — the shape of pydantic's
+    ``model_dump_json(exclude_none=True)``, which excludes None fields at
+    EVERY nesting level (e.g. a None deposit_type_candidate confidence is
+    omitted, not serialized as ``null``)."""
+    if isinstance(v, dict):
+        return {k: _strip_none(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_strip_none(x) for x in v]
+    return v
+
+
 def _cdr_site_records(rid: str, dedup_id: str, row: dict) -> list[dict]:
     recs = [
         {
@@ -641,7 +653,7 @@ def cdr_records_for_row(
             "data_snapshot": "",
             "data_snapshot_date": modified_at,
         }
-        out.append({k: v for k, v in rec.items() if v is not None})
+        out.append(_strip_none(rec))
     return out
 
 

@@ -1430,16 +1430,19 @@ def kg_stats(spark, sf_dir):
             F.col("name").alias("commodity_label"),
         )
     )
+    # left joins: a commodity whose linked inventories all lack references
+    # (or site back-edges) must still emit a row with a 0 count — the
+    # DuckDB oracle's count(DISTINCT doc_key) over NULLs does the same
     out = (
-        by_inv.join(by_site, "commodity_uri")
-        .join(by_doc, "commodity_uri")
+        by_inv.join(by_site, "commodity_uri", "left")
+        .join(by_doc, "commodity_uri", "left")
         .join(labels, "commodity_uri")
         .select(
             "commodity_uri",
             "commodity_label",
             "n_inventories",
-            "n_sites",
-            "n_documents",
+            F.coalesce("n_sites", F.lit(0)).alias("n_sites"),
+            F.coalesce("n_documents", F.lit(0)).alias("n_documents"),
         )
         .orderBy("commodity_uri")
     )

@@ -221,11 +221,17 @@ def _parse_term(term: str):
     if term.startswith("<") and term.endswith(">"):
         return "uri", term[1:-1]
     if term.startswith('"'):
-        if term.endswith('"'):
+        if term.endswith('"') and len(term) >= 2:
             body, dt = term[1:-1], None
         else:
-            q = term.rindex('"^^')
-            body, dt = term[1:q], term[q + 3 :]
+            # rpartition, not rindex: a term with an unrecognized tail
+            # (e.g. a language-tagged literal "x"@en) must degrade to a
+            # plain string, not crash the public tree render
+            body, sep, dt = term[1:].rpartition('"^^')
+            if not sep:
+                q = term.rfind('"')
+                body = term[1:q] if q > 0 else term[1:]
+                dt = None  # @lang or malformed tail → plain string
         # reverse of functions/rdf.py _ESCAPES (single-pass)
         import re
 

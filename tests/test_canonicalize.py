@@ -200,3 +200,28 @@ def test_build_membership_end_to_end(spark, threshold):
 
     sizes = Counter(Counter(got_map.values()).values())
     assert max(Counter(got_map.values()).values()) >= synthetic.giant_size(N)
+
+
+def test_build_membership_many_sites_few_edges(spark):
+    """ADVICE r04 (medium): with FEW edges but MANY sites (sparse
+    duplication at production scale) the driver fast path must not ship
+    the whole site_id column to the driver only to discard it.  The
+    limit(threshold+1) probe falls through to the distributed path, which
+    must still emit one singleton group per unlinked site."""
+    import pandas as pd
+
+    n = 40
+    sites = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "site_id": [f"s{i:03d}" for i in range(n)],
+                "source_id": [f"src{i}" for i in range(n)],  # all unique →
+                "record_id": [f"rec{i}" for i in range(n)],  # zero auto edges
+            }
+        )
+    )
+    # edge count (0) <= threshold (8) < site count (40): exercises the
+    # fall-through branch after the bounded id probe
+    got = build_membership(sites, None, None, driver_finish_threshold=8).toPandas()
+    got_map = dict(zip(got["site_id"], got["dedup_site_id"]))
+    assert got_map == {f"s{i:03d}": f"dedup_s{i:03d}" for i in range(n)}

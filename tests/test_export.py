@@ -363,3 +363,29 @@ def test_cdr_export_parity_vs_executed_reference(exported, spark):
     assert set(got) == set(want)
     for key in want:
         assert got[key] == want[key], (key, got[key], want[key])
+
+
+def test_cdr_none_stripping_is_recursive():
+    """ADVICE r04 (low): model_dump_json(exclude_none=True) excludes None
+    fields RECURSIVELY — a None nested in deposit_type_candidate must be
+    omitted from the record, not serialized as null."""
+    from ta2_minmod_kg_spark.plans.export import _strip_none
+
+    rec = {
+        "id": "x",
+        "tonnage": None,
+        "deposit_type_candidate": [
+            {"deposit_type_id": "d1", "confidence": None, "source": "s"},
+            {"deposit_type_id": "d2", "confidence": 0.5, "source": None},
+        ],
+        "sites": [{"name": "", "country": None}],
+    }
+    got = _strip_none(rec)
+    assert got == {
+        "id": "x",
+        "deposit_type_candidate": [
+            {"deposit_type_id": "d1", "source": "s"},
+            {"deposit_type_id": "d2", "confidence": 0.5},
+        ],
+        "sites": [{"name": ""}],
+    }

@@ -169,3 +169,19 @@ def test_lod_entity_json_on_corpus_closure(spark):
     for k, v in tree.items():
         if k != "@id":
             walk(v)
+
+
+def test_parse_term_language_tagged_literal_degrades():
+    """ADVICE r04 (low): a language-tagged literal "x"@en (or any
+    unrecognized quoted-literal tail) must degrade to a plain string, not
+    raise ValueError out of the public tree render."""
+    from ta2_minmod_kg_spark.plans.serving import _parse_term
+
+    assert _parse_term('"hello"@en') == ("lit", "hello")
+    assert _parse_term('"a\\"b"@fr-CA') == ("lit", 'a"b')
+    # malformed tail without any closing quote still returns a string
+    kind, val = _parse_term('"dangling')
+    assert kind == "lit" and isinstance(val, str)
+    # the recognized forms are unchanged
+    assert _parse_term('"5"^^xsd:integer') == ("lit", 5)
+    assert _parse_term('"t"') == ("lit", "t")
