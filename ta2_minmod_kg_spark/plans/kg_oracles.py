@@ -528,3 +528,48 @@ FROM inv i JOIN commodity c ON i.curi = c.uri
 GROUP BY c.uri, c.label
 ORDER BY commodity_uri
 """
+
+
+def kg_lod_closure_oracle_sql(n_sites: int) -> str:
+    """Hard oracle for the Q4 LOD closure (VERDICT r04 #3).
+
+    Shared INPUT: the corpus triple rows, produced by the pure-python
+    per-record kernel (functions/rdf.py site_to_triples) over the
+    deterministic synthetic corpus and inlined as VALUES — the same
+    technique as _corpus_json.  Triple EMISSION is independently checked
+    elsewhere (kg_triples per-predicate VALUES oracle + refshim byte
+    parity P/R=1.0); what THIS oracle restates independently is the
+    closure ALGEBRA of `minmodkg/services/sync/kgsync_listener.py:103-118`
+    — `<uri> (!(owl:sameAs|rdf:type|mo:normalized_uri))* ?s` reachability
+    with owl:sameAs excluded from the result — as a DuckDB WITH RECURSIVE
+    program over those rows (UNION recursion is the cycle guard, exactly
+    the monotone-frontier argument of plans/serving.py lod_closure).
+    """
+    from ..functions.rdf import site_to_triples
+    from ..operators.extract import _site_structurally_valid
+
+    triples: set[tuple[str, str, str]] = set()
+    for rec in _corpus_json(n_sites):
+        site = json.loads(rec)
+        if not _site_structurally_valid(site, None):
+            continue
+        _, ts = site_to_triples(site)
+        triples.update(ts)
+    values = ",\n".join(
+        f"({_q(s)},{_q(p)},{_q(o)})" for s, p, o in sorted(triples)
+    )
+    return f"""
+WITH RECURSIVE t(subj, pred, obj) AS (VALUES
+{values}),
+start(s) AS (SELECT min(subj) FROM t WHERE pred = 'mo:source_id'),
+reach(s) AS (
+  SELECT s FROM start
+  UNION
+  SELECT t.obj FROM t JOIN reach r ON t.subj = r.s
+  WHERE t.pred NOT IN ('owl:sameAs', 'rdf:type', 'mo:normalized_uri')
+)
+SELECT DISTINCT t.subj AS subj, t.pred AS pred, t.obj AS obj
+FROM t JOIN reach r ON t.subj = r.s
+WHERE t.pred != 'owl:sameAs'
+ORDER BY subj, pred, obj
+"""

@@ -1304,9 +1304,10 @@ def kg_lod_closure(spark, sf_dir):
     """Q4 driver entry: full LOD dereference of the first corpus site's
     subgraph via the semi-join fixpoint (plans/serving.py lod_closure).
 
-    Rows-only; invariants: the start subject's own triples are all
-    present, no owl:sameAs row survives, and the result equals a second
-    run (deterministic fixpoint)."""
+    Hard oracle (r5 promotion): the closure algebra is restated as a
+    DuckDB WITH RECURSIVE reachability program over the inlined corpus
+    triples (plans/kg_oracles.py kg_lod_closure_oracle_sql); in-engine
+    invariants retained as belt-and-braces."""
     from ..operators import extract
     from ..plans.serving import lod_closure
     from ..sources import synthetic
@@ -1560,6 +1561,7 @@ ORACLE_SQL = {
 # shared input; the semantics are restated in independent DuckDB SQL.
 from .kg_oracles import (  # noqa: E402
     kg_dedup_sites_oracle_sql,
+    kg_lod_closure_oracle_sql,
     kg_sameas_triples_oracle_sql,
     kg_stats_oracle_sql,
     kg_triples_oracle_sql,
@@ -1569,3 +1571,5 @@ ORACLE_SQL["kg_triples"] = kg_triples_oracle_sql(_KG_N)
 ORACLE_SQL["kg_sameas_triples"] = kg_sameas_triples_oracle_sql(_KG_N)
 ORACLE_SQL["kg_stats"] = kg_stats_oracle_sql(_KG_N)
 ORACLE_SQL["kg_dedup_sites"] = kg_dedup_sites_oracle_sql(_KG_N)
+# closure entry runs on its own 60-site corpus (kg_lod_closure docstring)
+ORACLE_SQL["kg_lod_closure"] = kg_lod_closure_oracle_sql(60)
