@@ -36,6 +36,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ta2_minmod_kg_spark.plans.data_oracles import build_data_oracles
     from ta2_minmod_kg_spark.plans.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    # data-dependent expected-VALUES oracles (pure-python xxh64 simhash,
+    # formula-derived image stats) are built lazily here — against
+    # $ORACLE_SF_DIR (default the driver's correctness scale, sf0.01)
+    out = dict(ORACLE_SQL)
+    out.update(build_data_oracles())
+    return out

@@ -1,0 +1,148 @@
+"""Expected-VALUES oracles computed driver-side in pure Python
+(VERDICT r04 #4) for driver entries whose math is not DuckDB-expressible.
+
+Unlike the static SQL in ORACLE_SQL / kg_oracles.py, these depend on the
+input data (the parquet ``documents`` table) or on numeric kernels
+(float32 luma means), so they are built LAZILY when ``oracle_sql()`` is
+called, against the same scale-factor directory the harness registers as
+DuckDB views (``$ORACLE_SF_DIR``, default the driver's sf0.01).
+
+- ``docs_simhash``: per-document 64-bit simhash signatures recomputed with
+  the PURE-PYTHON xxh64 (functions/xxh.py — spec implementation,
+  cross-checked against Spark's JVM xxhash64 in tests/test_backup.py),
+  then EXACT all-pairs Hamming ≤ 3 — no banding, no Spark.  The 4-band
+  pigeonhole guarantees the engine's bucketed join has recall 1.0 at
+  distance ≤ 3 and its final filter caps precision, so the exact pair set
+  is the complete expected output.
+- ``mm_image_stats``: per-format stats recomputed from the asset
+  GENERATION FORMULA (operators/multimodal.py synth_real_assets: the
+  index-derived gradient), bypassing both the BMP/PPM encoders and
+  decoders entirely — an encode or decode bug on the engine side breaks
+  the match.  Only the resize kernel (resize_luma, pytest-covered) is
+  shared, because the engine's mean_luma is defined over the 8x8
+  nearest-neighbor thumbnail.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def oracle_sf_dir() -> str:
+    return os.environ.get("ORACLE_SF_DIR", DEFAULT_ORACLE_SF_DIR)
+
+
+def _read_documents(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+# Java \s is ASCII-only: [ \t\n\x0B\f\r] — mirror it exactly (python \s
+# would also split on unicode whitespace)
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _simhash64(text: str) -> int:
+    """Restatement of operators/text_dedup.simhash_signatures' math with
+    the pure-python xxh64 at Spark's seed 42 over UTF-8 bytes:
+    tokens = split(lower(trim(text)), \\s+); per-bit ±1 vote over token
+    hashes; bit j set iff the vote is > 0."""
+    from ..functions.xxh import xxh64
+
+    toks = _JAVA_WS.split(text.strip(" ").lower())
+    votes = [0] * 64
+    for w in toks:
+        h = xxh64(w.encode("utf-8"), seed=42)
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    sig = 0
+    for j in range(64):
+        if votes[j] > 0:
+            sig |= 1 << j
+    return sig
+
+
+def docs_simhash_oracle_sql(sf_dir: str | None = None) -> str:
+    docs = _read_documents(sf_dir or oracle_sf_dir())
+    sigs = [(did, _simhash64(txt)) for did, txt in docs]
+    pairs = []
+    for i in range(len(sigs)):
+        a, sa = sigs[i]
+        for j in range(i + 1, len(sigs)):
+            b, sb = sigs[j]
+            ham = bin(sa ^ sb).count("1")
+            if ham <= 3:
+                lo, hi = (a, b) if a < b else (b, a)
+                pairs.append((lo, hi, ham))
+    pairs.sort()
+    if not pairs:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS"
+            " doc_b, CAST(NULL AS INT) AS hamming WHERE false"
+        )
+    values = ",\n".join(f"({a},{b},{h})" for a, b, h in pairs)
+    return f"""
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(hamming AS INT) AS hamming
+FROM (VALUES
+{values}) AS t(doc_a, doc_b, hamming)
+ORDER BY doc_a, doc_b
+"""
+
+
+def mm_image_stats_oracle_sql(n: int = 96) -> str:
+    import numpy as np
+
+    from ..operators.multimodal import resize_luma
+
+    acc: dict[str, dict] = {}
+    for i in range(n):
+        w, h = 16 + (i * 5) % 48, 16 + (i * 3) % 32
+        fmt = "bmp" if i % 2 == 0 else "ppm"
+        xs = np.arange(w)[None, :]
+        ys = np.arange(h)[:, None]
+        # the generation formula (synth_real_assets rgb closure), not the
+        # codec round-trip
+        r = (xs * 7 + i) % 256
+        g = (ys * 11 + 2 * i) % 256
+        b = (xs + ys + 3 * i) % 256
+        luma = ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).astype(np.float32)
+        thumb = resize_luma(luma, 8, 8)
+        s = acc.setdefault(
+            fmt, {"n": 0, "sum_w": 0, "sum_h": 0, "lumas": []}
+        )
+        s["n"] += 1
+        s["sum_w"] += w
+        s["sum_h"] += h
+        s["lumas"].append(float(thumb.mean()))
+    rows = []
+    for fmt in sorted(acc):
+        s = acc[fmt]
+        avg = round(sum(s["lumas"]) / len(s["lumas"]), 6)
+        rows.append(f"('{fmt}',{s['n']},{s['sum_w']},{s['sum_h']},{avg!r})")
+    values = ",\n".join(rows)
+    return f"""
+SELECT format, CAST(n_assets AS BIGINT) AS n_assets,
+       CAST(sum_width AS BIGINT) AS sum_width,
+       CAST(sum_height AS BIGINT) AS sum_height,
+       CAST(avg_luma AS DOUBLE) AS avg_luma
+FROM (VALUES
+{values}) AS t(format, n_assets, sum_width, sum_height, avg_luma)
+ORDER BY format
+"""
+
+
+def build_data_oracles() -> dict[str, str]:
+    """All lazily-built data-dependent oracle SQL strings, keyed like
+    QUERIES.  Called from __spark_entry__.oracle_sql()."""
+    return {
+        "docs_simhash": docs_simhash_oracle_sql(),
+        "mm_image_stats": mm_image_stats_oracle_sql(),
+    }

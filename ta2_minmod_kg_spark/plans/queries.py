@@ -448,9 +448,10 @@ ORDER BY doc_a, doc_b
 
 
 def docs_simhash(spark, sf_dir):
-    """SimHash near-duplicates (Hamming ≤ 3) — rows-only (xxhash64 is not
-    in DuckDB; the simhash MATH is hash-oracled by docs_simhash_sig's md5
-    variant).
+    """SimHash near-duplicates (Hamming ≤ 3) — hard oracle (r5
+    promotion): expected pairs recomputed driver-side with the
+    pure-python xxh64 + exact all-pairs Hamming and inlined as VALUES
+    (plans/data_oracles.py docs_simhash_oracle_sql).
 
     In-engine invariants (VERDICT r03 #9) so the rows-only signal can
     catch a regression:
@@ -1465,11 +1466,11 @@ def mm_image_stats(spark, sf_dir):
     REAL BMP/PPM asset table with the pure-python codecs
     (operators/multimodal.py) and aggregate per container format.
 
-    Rows-only driver check (binary decode is not DuckDB-expressible;
-    decode VALUES are pytest-verified in tests/test_multimodal_codecs.py).
-    Invariant columns a rows-only signal can still catch: n_assets per
-    format is planted (48/48), and sum_width/sum_height/mean_luma are
-    deterministic functions of the payload bytes.
+    Hard oracle (r5 promotion): expected per-format stats recomputed
+    from the asset GENERATION FORMULA in pure python — bypassing both the
+    encoders and the decoders — and inlined as VALUES
+    (plans/data_oracles.py mm_image_stats_oracle_sql); an encode or
+    decode bug on the engine side breaks the hash match.
     """
     from ..operators import multimodal
 
