@@ -145,4 +145,105 @@ def build_data_oracles() -> dict[str, str]:
     return {
         "docs_simhash": docs_simhash_oracle_sql(),
         "mm_image_stats": mm_image_stats_oracle_sql(),
+        "emb_ivf_recall": emb_ivf_recall_oracle_sql(),
     }
+
+
+def _read_embeddings(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return list(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+
+
+def emb_ivf_recall_oracle_sql(sf_dir: str | None = None) -> str:
+    """Expected per-query IVF-vs-exact hit counts, recomputed entirely
+    driver-side in numpy (VERDICT r04 #1: 'emb_ivf_topk with nprobe<k is
+    approximate by construction and needs a recall-vs-exact hard row').
+
+    Independent restatement of BOTH sides of the entry:
+
+    - exact top-3: unit-normalized float64 cosine, ties by neighbor_id;
+    - IVF: Spark's ``xxhash64(bigint)`` init restated with the pure-python
+      XXH64 over the 8-byte little-endian encoding at seed 42 (signed
+      ordering, verified bit-equal vs the JVM), 3 Lloyd iterations
+      (argmax-cosine assignment, per-cluster mean, renormalize, empty
+      cells keep their previous centroid), top-``nprobe`` cell probing,
+      exact re-rank within the probed cells.
+
+    Only INTEGER intersection counts are inlined, so ulp-level
+    float-summation-order differences between the distributed engine path
+    and this single-process recomputation cannot flip the expected values
+    (a flip would need a genuine cosine tie at ~1e-15, which the random
+    synthetic embeddings do not produce).
+    """
+    import struct
+
+    import numpy as np
+
+    from ..functions.xxh import xxh64
+
+    K, N_CENT, NPROBE, N_QUERIES = 3, 16, 4, 20
+    rows = _read_embeddings(sf_dir or oracle_sf_dir())
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([np.asarray(r[1], dtype=np.float32) for r in rows])
+    # unit vectors: float32 elementwise squares accumulated in float64
+    U = V.astype(np.float64)
+    norms = np.sqrt((V.astype(np.float64) * V.astype(np.float64)).sum(axis=1))
+    U = U / np.where(norms > 0, norms, 1.0)[:, None]
+
+    qmask = ids < N_QUERIES
+    qids, Q = ids[qmask], U[qmask]
+
+    def topk(scores: np.ndarray, qid: int) -> list[int]:
+        # ties: cosine desc, neighbor_id asc; exclude self
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-scores[i], ids[i]),
+        )
+        return [int(ids[i]) for i in order[:K]]
+
+    exact = {int(q): topk(U @ Q[qi], int(q)) for qi, q in enumerate(qids)}
+
+    def spark_xxh64_long(v: int) -> int:
+        h = xxh64(struct.pack("<q", int(v)), seed=42)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    init_order = sorted(range(len(ids)), key=lambda i: spark_xxh64_long(ids[i]))
+    C = U[init_order[:N_CENT]].copy()
+    for _ in range(3):
+        assign = (U @ C.T).argmax(axis=1)
+        newC = C.copy()
+        for c in range(N_CENT):
+            members = U[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                newC[c] = m / n if n > 0 else m
+        C = newC
+    assign = (U @ C.T).argmax(axis=1)
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :NPROBE]
+
+    values = []
+    for qi, q in enumerate(qids):
+        qid = int(q)
+        cand = [
+            i
+            for i in range(len(ids))
+            if assign[i] in set(probes[qi]) and ids[i] != qid
+        ]
+        scores = U[cand] @ Q[qi]
+        order = sorted(range(len(cand)), key=lambda j: (-scores[j], ids[cand[j]]))
+        ivf = {int(ids[cand[j]]) for j in order[:K]}
+        n_hit = len(ivf & set(exact[qid]))
+        values.append(f"({qid},{n_hit})")
+    values.sort()
+    body = ",\n".join(values)
+    return f"""
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_hit AS BIGINT) AS n_hit
+FROM (VALUES
+{body}) AS t(query_id, n_hit)
+ORDER BY query_id
+"""

@@ -573,3 +573,311 @@ FROM t JOIN reach r ON t.subj = r.s
 WHERE t.pred != 'owl:sameAs'
 ORDER BY subj, pred, obj
 """
+
+
+# Deterministic perturbed probe mentions appended by the kg_entity_linking
+# entry (and this oracle) so the 7-dim score is exercised off the exact-match
+# saturation point: typos (Levenshtein/JW partials), token reorder
+# (symmetric Monge-Elkan), token subset/superset (hybrid Jaccard), duplicate
+# tokens (full-token-list vs distinct-set divergence), digits (ordinal
+# guard), mixed case + irregular whitespace (normalization), abbreviations
+# (the sim<0.7 ordinal 0.4 path).
+LINK_PROBES: list[tuple[str, str]] = [
+    ("probe::00", "Porfyry coper"),
+    ("probe::01", "copper porphyry"),
+    ("probe::02", "gold"),
+    ("probe::03", "Carlin type gold deposit"),
+    ("probe::04", "VMS zinc"),
+    ("probe::05", "Epithermal Au-Ag"),
+    ("probe::06", "lithium lithium brine"),
+    ("probe::07", "Skarn tungsten 2"),
+    ("probe::08", "  Orogenic   GOLD"),
+    ("probe::09", "banded iron-formation"),
+    ("probe::10", "nickle laterite"),
+    ("probe::11", "Sediment hosted Cu"),
+]
+
+
+def kg_entity_linking_oracle_sql(n_sites: int) -> str:
+    """Hard oracle for kg_entity_linking (VERDICT r04 #1).
+
+    Shared INPUT: the unlinked deposit-type mentions, re-derived driver-side
+    from the raw synthetic records by plain dict traversal (candidates with
+    ``normalized_uri`` null — no Spark, no operators/linking.py), plus the
+    deposit-type vocabulary names — both inlined as VALUES.
+
+    The 7-dim similarity of `minmodkg/entity_linking.py:114-170` is then
+    restated ENTIRELY in DuckDB SQL with zero engine code in the scoring
+    path:
+
+    - Levenshtein similarity and Jaro-Winkler from DuckDB's builtins
+      (``levenshtein``, ``jaro_winkler_similarity`` — cross-checked
+      bit-identical to the published algorithms the engine implements on
+      500 random pairs, the only divergence being the degenerate ''~''
+      case, guarded below);
+    - Monge-Elkan and its symmetric mean as nested list lambdas
+      (mean over a-tokens of the max JW match in b);
+    - hybrid Jaccard's greedy max-weight 1:1 matching as a WITH RECURSIVE
+      program: each step picks the lexicographically-largest remaining
+      (score, i, j) pair per (mention, doc) group — exactly the
+      ``pairs.sort(reverse=True)`` greedy order — and retires its row and
+      column; ``arg_max(total, m)`` reads off the final state;
+    - the ordinal-digit guard via ``regexp_extract_all``;
+    - argmax doc per mention with the engine's tie-break (first doc in
+      vocabulary order) via ``row_number() OVER (ORDER BY score DESC,
+      idx ASC)``.
+    """
+    from ..operators.extract import _site_structurally_valid
+    from ..sources import synthetic
+    from ..sources.vocab import synthetic_vocab
+
+    mentions: list[tuple[str, str]] = []
+    for n in range(n_sites):
+        variants = [False] + ([True] if synthetic.has_expert_dup(n) else [])
+        for expert in variants:
+            rec = synthetic.make_record(n, n_sites, expert=expert)
+            if not _site_structurally_valid(rec, None):
+                continue
+            sid = synthetic.site_id_of(n, n_sites, expert=expert)
+            for i, c in enumerate(rec.get("deposit_type_candidate") or []):
+                if (
+                    c.get("normalized_uri") is None
+                    and c.get("observed_name") is not None
+                ):
+                    mentions.append((f"dt::{sid}::{i}", c["observed_name"]))
+    mentions.extend(LINK_PROBES)
+    m_values = ",\n".join(f"({_q(m)}, {_q(t)})" for m, t in mentions)
+    d_values = ",\n".join(
+        f"({i}, {_q(r['minmod_id'])}, {_q(r['deposit_type'])})"
+        for i, r in enumerate(synthetic_vocab()["deposit_type"])
+    )
+    return f"""
+WITH RECURSIVE m(mention_id, text) AS (VALUES
+{m_values}),
+d(idx, entity_id, name) AS (VALUES
+{d_values}),
+pair AS (
+  SELECT m.mention_id, m.text, d.idx, d.entity_id, d.name,
+         lower(m.text) AS t, lower(d.name) AS l,
+         list_filter(regexp_split_to_array(trim(lower(m.text)), '\\s+'),
+                     x -> x <> '') AS tw,
+         list_filter(regexp_split_to_array(trim(lower(d.name)), '\\s+'),
+                     x -> x <> '') AS lw
+  FROM m CROSS JOIN d
+),
+feat0 AS (
+  SELECT *,
+    list_sort(list_distinct(tw)) AS tu,
+    list_sort(list_distinct(lw)) AS lu,
+    CASE WHEN t = l THEN 1.0
+         WHEN len(t) = 0 OR len(l) = 0 THEN 0.0
+         ELSE 1.0 - CAST(levenshtein(t, l) AS DOUBLE)
+                    / greatest(len(t), len(l)) END AS f1,
+    CASE WHEN t = '' AND l = '' THEN 1.0
+         ELSE jaro_winkler_similarity(t, l) END AS f2,
+    CASE WHEN len(tw) = 0 OR len(lw) = 0 THEN 0.0
+         ELSE list_avg(list_transform(tw, ta ->
+                list_max(list_transform(lw, tb ->
+                  jaro_winkler_similarity(ta, tb))))) END AS me_ab,
+    CASE WHEN len(tw) = 0 OR len(lw) = 0 THEN 0.0
+         ELSE list_avg(list_transform(lw, tb ->
+                list_max(list_transform(tw, ta ->
+                  jaro_winkler_similarity(ta, tb))))) END AS me_ba
+  FROM pair
+),
+tp0 AS (
+  SELECT mention_id, idx,
+    unnest(flatten(list_transform(range(1, len(tu) + 1), i ->
+      list_transform(range(1, len(lu) + 1), j ->
+        struct_pack(i := i, j := j,
+                    s := jaro_winkler_similarity(tu[i], lu[j])))))) AS p
+  FROM feat0
+),
+tp AS (
+  SELECT mention_id, idx, p.i AS i, p.j AS j, p.s AS s
+  FROM tp0 WHERE p.s >= 0.5
+),
+greedy(mention_id, idx, used_i, used_j, total, mm) AS (
+  SELECT mention_id, idx, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+         CAST(0.0 AS DOUBLE), 0
+  FROM feat0
+  UNION ALL
+  SELECT g.mention_id, g.idx,
+         list_append(g.used_i, p.i), list_append(g.used_j, p.j),
+         g.total + p.s, g.mm + 1
+  FROM greedy g JOIN LATERAL (
+    SELECT tp.i, tp.j, tp.s FROM tp
+    WHERE tp.mention_id = g.mention_id AND tp.idx = g.idx
+      AND NOT list_contains(g.used_i, tp.i)
+      AND NOT list_contains(g.used_j, tp.j)
+    ORDER BY tp.s DESC, tp.i DESC, tp.j DESC LIMIT 1
+  ) p ON true
+),
+hj AS (
+  SELECT mention_id, idx, arg_max(total, mm) AS total, max(mm) AS mm
+  FROM greedy GROUP BY mention_id, idx
+),
+feat AS (
+  SELECT f.mention_id, f.idx, f.entity_id,
+    f.f1, f.f2, f.me_ab,
+    (f.me_ab + f.me_ba) / 2.0 AS f4,
+    CASE WHEN len(f.tu) = 0 OR len(f.lu) = 0 THEN 0.0
+         ELSE h.total / (len(f.tu) + len(f.lu) - h.mm) END AS f5,
+    regexp_extract_all(f.text, '[0-9]+') AS d1,
+    regexp_extract_all(f.name, '[0-9]+') AS d2
+  FROM feat0 f JOIN hj h ON f.mention_id = h.mention_id AND f.idx = h.idx
+),
+scored AS (
+  SELECT mention_id, idx, entity_id,
+    (f1 + f2 + me_ab + f4 + f5
+     + CASE WHEN f4 < 0.7 THEN 0.4 WHEN d1 = d2 THEN 1.0
+            WHEN len(d1) = 0 OR len(d2) = 0 THEN 0.4 ELSE 0.0 END
+     + CASE WHEN f5 < 0.7 THEN 0.4 WHEN d1 = d2 THEN 1.0
+            WHEN len(d1) = 0 OR len(d2) = 0 THEN 0.4 ELSE 0.0 END
+    ) / 7.0 AS score
+  FROM feat
+),
+best AS (
+  SELECT mention_id, entity_id, score,
+         row_number() OVER (PARTITION BY mention_id
+                            ORDER BY score DESC, idx ASC) AS rn
+  FROM scored
+)
+SELECT mention_id, entity_id, round(score, 6) AS score
+FROM best WHERE rn = 1
+ORDER BY mention_id
+"""
+
+
+def _load_refshim():
+    """Load tests/refshim.py by file path (tests/ is not a package) and
+    return the executed-reference namespace."""
+    import importlib.util
+    import os
+    import sys
+
+    p = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "tests", "refshim.py")
+    )
+    spec = importlib.util.spec_from_file_location("kg_oracle_refshim", p)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod.load_reference()
+
+
+def kg_grade_tonnage_oracle_sql(n_sites: int) -> str:
+    """Hard oracle for kg_grade_tonnage (VERDICT r04 #1 — 'the genuinely
+    hard one').
+
+    The per-(site, commodity) inventory groups are re-derived from the raw
+    synthetic records by plain dict traversal (no Spark, no
+    operators/extract.py), then the REFERENCE'S OWN ``GradeTonnageModel``
+    (`minmodkg/grade_tonnage_model.py:245-459`, executed via
+    tests/refshim.py — the same loader behind the pass(R) parity gates) is
+    run on each group.  The expected totals are inlined UNROUNDED as
+    VALUES; the only SQL-side computation is ``round(x, 6)``, matching the
+    engine entry's ``F.round`` (both half-away-from-zero on doubles —
+    python's banker's ``round()`` would not).
+
+    Independence: zero engine code touches the expected values — the
+    traversal restates explode_inventories' field mapping
+    (`operators/extract.py:489-553` semantics: commodity must be
+    normalized; ``valid_gt`` checks ore/grade value+unit and a non-empty
+    RAW category list; category URIs keep only normalized entries;
+    material-form conversion resolves via the commodity_form vocabulary)
+    and the model itself is the reference's code, not the engine's
+    Arrow kernel.
+    """
+    from ..operators.extract import _site_structurally_valid
+    from ..sources import synthetic
+    from ..sources.vocab import MR, synthetic_vocab
+
+    ref = _load_refshim()
+    MI = ref.grade_tonnage.GradeTonnageModel.MineralInventory
+    model = ref.grade_tonnage.GradeTonnageModel()
+    form_conv = {
+        MR + r["minmod_id"]: float(r["conversion"])
+        for r in synthetic_vocab()["commodity_form"]
+        if r.get("conversion") is not None
+    }
+
+    groups: dict[tuple[str, str], list[tuple[bool, dict]]] = {}
+    for n in range(n_sites):
+        variants = [False] + ([True] if synthetic.has_expert_dup(n) else [])
+        for expert in variants:
+            rec = synthetic.make_record(n, n_sites, expert=expert)
+            if not _site_structurally_valid(rec, None):
+                continue
+            sid = synthetic.site_id_of(n, n_sites, expert=expert)
+            for inv in rec.get("mineral_inventory") or []:
+                curi = (inv.get("commodity") or {}).get("normalized_uri")
+                if curi is None:
+                    continue
+                commodity = curi.replace(MR, "")
+                raw_cats = inv.get("category") or []
+                ore = inv.get("ore") or {}
+                grade = inv.get("grade") or {}
+                valid = (
+                    ore.get("value") is not None
+                    and (ore.get("unit") or {}).get("normalized_uri") is not None
+                    and grade.get("value") is not None
+                    and (grade.get("unit") or {}).get("normalized_uri") is not None
+                    and len(raw_cats) > 0
+                )
+                mf_uri = (inv.get("material_form") or {}).get("normalized_uri")
+                entry = {
+                    "date": inv.get("date"),
+                    "zone": inv.get("zone"),
+                    "category": [
+                        c["normalized_uri"]
+                        for c in raw_cats
+                        if c.get("normalized_uri") is not None
+                    ],
+                    "material_form_conversion": form_conv.get(mf_uri),
+                    "ore_value": ore.get("value"),
+                    "ore_unit": (ore.get("unit") or {}).get("normalized_uri"),
+                    "grade_value": grade.get("value"),
+                    "grade_unit": (grade.get("unit") or {}).get("normalized_uri"),
+                }
+                groups.setdefault((sid, commodity), []).append((valid, entry))
+
+    rows = []
+    for (sid, comm), invs in groups.items():
+        clean = [e for v, e in invs if v]
+        out = None
+        if clean:
+            out = model(
+                [
+                    MI(
+                        id=str(i),
+                        date=e["date"],
+                        zone=e["zone"],
+                        category=e["category"],
+                        material_form_conversion=e["material_form_conversion"],
+                        ore_value=e["ore_value"],
+                        ore_unit=e["ore_unit"],
+                        grade_value=e["grade_value"],
+                        grade_unit=e["grade_unit"],
+                    )
+                    for i, e in enumerate(clean)
+                ]
+            )
+        te = out.total_estimate if out is not None else None
+        if te is not None:
+            rows.append(
+                f"({_q(sid)}, {_q(comm)}, {te.contained_metal!r}, "
+                f"{te.tonnage!r}, {te.get_grade()!r})"
+            )
+        else:
+            rows.append(f"({_q(sid)}, {_q(comm)}, NULL, NULL, NULL)")
+    values = ",\n".join(rows)
+    return f"""
+SELECT site_id, commodity,
+       round(CAST(contained_metal AS DOUBLE), 6) AS contained_metal,
+       round(CAST(tonnage AS DOUBLE), 6) AS tonnage,
+       round(CAST(grade AS DOUBLE), 6) AS grade
+FROM (VALUES
+{values}) AS t(site_id, commodity, contained_metal, tonnage, grade)
+ORDER BY site_id, commodity
+"""
