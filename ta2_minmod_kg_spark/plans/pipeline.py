@@ -20,11 +20,13 @@ content-hash memo (`etl/mineral_site.py:400-408`):
 - per-bucket hashes make a finer-grained diff possible (dynamic partition
   overwrite of only the changed buckets) — exposed via ``changed_buckets``.
 
-Run it under spark-submit:
+Run it under spark-submit (via the root-level ``run_pipeline.py`` shim —
+spark-submit takes a file path, and this module's relative imports need
+the package on ``--py-files``):
 
-    spark-submit --py-files ta2_minmod_kg_spark.zip \
-        -m ta2_minmod_kg_spark.plans.pipeline -- \
-        --n-sites 100000 --workdir /tmp/kg --master local[32]
+    python -m zipfile -c /tmp/pkg.zip ta2_minmod_kg_spark
+    spark-submit --master local[32] --py-files /tmp/pkg.zip \
+        run_pipeline.py --n-sites 100000 --workdir /tmp/kg
 """
 
 from __future__ import annotations
