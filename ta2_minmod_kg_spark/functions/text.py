@@ -92,11 +92,24 @@ def fingerprint64(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 5) -> Column:
-    """Word k-shingles (array<string>) for MinHash/Jaccard."""
+    """Word k-shingles (array<string>) for MinHash/Jaccard.
+
+    The word array is bound to a lambda variable via a one-element outer
+    ``transform`` before any per-shingle work: higher-order-function
+    lambdas evaluate INTERPRETED per element, so referencing the
+    ``split`` expression directly inside the per-position lambda would
+    re-run the full regex split of the document once per shingle
+    position (~200x per 1 KB doc — measured 6 s of the 7 s
+    docs_minhash_lsh wall at sf0.1).  A lambda variable is evaluated
+    once and only the slice/join runs per position."""
+
+    def per_doc(ws: Column) -> Column:
+        n = F.size(ws)
+        idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " ")),
+        ).otherwise(F.array(F.array_join(ws, " ")))
+
     words = F.split(F.lower(F.trim(text)), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")),
-    ).otherwise(F.array(F.array_join(words, " ")))
+    return F.transform(F.array(words), per_doc)[0]

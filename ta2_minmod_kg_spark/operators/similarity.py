@@ -36,10 +36,19 @@ def _norm(a):
 
 
 def with_unit_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """unit_vec = v / ||v|| (zero vectors pass through unscaled).
+
+    The norm is bound to a lambda variable via a one-element outer
+    ``transform``: HOF lambdas evaluate interpreted per element, so
+    referencing the norm aggregate directly inside the division lambda
+    would re-fold the whole vector once per component (dim^2 per row —
+    measured ~1.7 s for 2k x 64-dim rows at sf0.1)."""
     n = _norm(F.col(col))
+    safe = F.when(n > 0, n).otherwise(F.lit(1.0))
     unit = F.transform(
-        F.col(col), lambda x: x.cast("double") / F.when(n > 0, n).otherwise(F.lit(1.0))
-    )
+        F.array(safe),
+        lambda nn: F.transform(F.col(col), lambda x: x.cast("double") / nn),
+    )[0]
     return df.withColumn("unit_vec", unit)
 
 

@@ -1,7 +1,9 @@
 """Document deduplication suite (training-data pipeline surface).
 
 Operates on the ``documents`` table (doc_id, text, lang, source, n_chars).
-All variants are pure DataFrame ops (JVM/codegen); nothing leaves the JVM.
+Hashing stays JVM-side everywhere (``xxhash64``); the one place dense
+per-bit math dominates (the SimHash vote matrix) runs as a vectorized
+Arrow kernel.
 
 - ``exact_duplicates``    — hash-groupBy on a normalized fingerprint.
 - ``minhash_signatures``  — word-shingle MinHash (H hash functions as
@@ -9,9 +11,10 @@ All variants are pure DataFrame ops (JVM/codegen); nothing leaves the JVM.
 - ``lsh_candidate_pairs`` — banding: split the signature into B bands,
                             bucket-join on (band, band-hash); candidates
                             verified with exact shingle Jaccard.
-- ``simhash_signatures``  — 64-bit SimHash as 64 per-bit aggregates; near
-                            -dup join on 16-bit bands (pigeonhole: any pair
-                            with Hamming distance ≤ 3 shares ≥1 band).
+- ``simhash_signatures``  — 64-bit SimHash: JVM token hashes, numpy
+                            majority vote; near-dup join on 16-bit bands
+                            (pigeonhole: any pair with Hamming distance
+                            ≤ 3 shares ≥1 band).
 - ``ngram_jaccard_pairs`` — exact Jaccard over shingle sets for a candidate
                             pair list (the verify stage).
 
@@ -151,25 +154,41 @@ def ngram_jaccard_pairs(
 def simhash_signatures(documents: DataFrame, nbits: int = 64) -> DataFrame:
     """(doc_id, bits array<int>[nbits], band keys array<bigint>[4]).
 
-    Per-bit majority vote over token hashes — nbits aggregate expressions,
-    all inside one codegen stage.
+    Per-bit majority vote over token hashes — token hashing JVM-side
+    (exact ``xxhash64`` parity), the nbits x n_tokens vote as a
+    vectorized numpy kernel (see the inline note).
     """
     toks = F.transform(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: F.xxhash64(w)
     )
 
-    def _bit_vote(j: int):
-        # NB: bind j via closure, NOT a lambda default — pyspark's lambda
-        # introspection treats extra parameters as lambda variables
-        return lambda acc, h: acc + (
-            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-        )
+    # hybrid: the token hashing stays JVM-side (exact xxhash64 parity, one
+    # interpreted pass of ~n_tokens ops per doc) but the nbits x n_tokens
+    # majority vote moves to a numpy kernel — as nbits interpreted
+    # ``aggregate`` folds it was 64 x n_tokens lambda steps per doc
+    # (measured 24 s at sf0.1; the bit matrix is two vectorized shifts)
+    import numpy as np
+    import pandas as pd
 
-    bit_cols = [
-        (F.aggregate(toks, F.lit(0), _bit_vote(j)) > 0).cast("int")
-        for j in range(nbits)
-    ]
-    df = documents.select("doc_id", F.array(*bit_cols).alias("bits"))
+    shifts = np.arange(nbits, dtype=np.int64)
+
+    def vote_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bits_out = []
+            for th in pdf["th"]:
+                h = np.asarray(th, dtype=np.int64)
+                ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
+                votes = 2 * ones - len(h)
+                bits_out.append((votes > 0).astype(np.int32))
+            out = pdf[["doc_id"]].copy()
+            out["bits"] = bits_out
+            yield out
+
+    df = documents.select("doc_id", toks.alias("th")).mapInPandas(
+        vote_fn, "doc_id bigint, bits array<int>"
+    )
     band_width = nbits // 4
     bands = F.array(
         *[
