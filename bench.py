@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "cc_customer_order_graph",
     "docs_exact_dups",
     "docs_minhash_lsh",
+    "docs_simhash",
     "docs_token_stats",
     "emb_topk_cosine",
     "emb_lsh_neardups",
