@@ -57,8 +57,10 @@ SCALING_CORES = (
 )
 # total wall budget for the whole bench run; the driver killed round 4's
 # ~80-minute run, so everything after the queries phase fits itself to
-# what remains of this
-WALL_BUDGET = float(os.environ.get("BENCH_WALL_BUDGET", "2400"))
+# what remains of this (r5: 2400 -> 2100 — the round-5 full run took
+# 2336 s wall, leaving no margin under an unknown driver timeout; 2100
+# still fits ~4 scaling pairs after the queries + kg phases)
+WALL_BUDGET = float(os.environ.get("BENCH_WALL_BUDGET", "2100"))
 # a probe (pre-gate + run) whose in-run steal exceeds this fraction of
 # its busy-core time (wall x cores) is recorded as contaminated; medians
 # prefer clean pairs (objective, pre-registered criterion — r02)
