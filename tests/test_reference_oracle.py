@@ -500,3 +500,321 @@ def test_select_inventories_fuzz_vs_executed_reference(ref):
         if want_map:
             checked_groups += 1
     assert checked_groups >= 200, checked_groups
+
+
+def test_from_sites_attr_merge_fuzz_vs_executed_reference(ref, spark):
+    """A3 attribute-merge parity (VERDICT r04 #10): the engine's FULL
+    Spark merge path (with_site_score → collect_list → merge_group kernel)
+    vs the reference's OWN ``DedupMineralSite.from_sites``
+    (dedup_mineral_site.py:204-294) executed on ≥200 random groups —
+    covering rank-order first-non-null (name/type/rank/discovered_year),
+    the first-non-empty list attrs, coordinates, the 7-field
+    ``RefGeologyInfo.from_sites`` geology merge (ref_value.py:166-199,
+    executed verbatim), top-5 deposit types with strict-greater tie-break,
+    ranked_sites order, and modified_at.
+
+    modified_at is globally unique so every in-group SiteScore total
+    order is strict: the reference's stable input-order sort and the
+    engine's deterministic site_id tie-break only diverge on EXACT
+    SiteScore ties, which production timestamps (nanosecond) never
+    produce.
+    """
+    import json as _json
+    import random
+    from types import SimpleNamespace as NS
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ref_dedup_exec import load_ref_dedup
+    from ta2_minmod_kg_spark.operators.dedup import merge_dedup_sites
+    from ta2_minmod_kg_spark.schemas import CANDIDATE_ENTITY, GEOLOGY_INFO
+
+    rd = load_ref_dedup()
+    rng = random.Random(20260817)
+    MR = "https://minmod.isi.edu/resource/"
+    SYS = "https://minmod.isi.edu/users/s/algo-v1"
+    EXPERTS = [f"https://minmod.isi.edu/users/e{i}" for i in range(3)]
+
+    def maybe(p, fn):
+        return fn() if rng.random() < p else None
+
+    def gen_geo():
+        if rng.random() < 0.5:
+            return None
+        g = {
+            "alteration": maybe(0.4, lambda: f"alt-{rng.randrange(4)}"),
+            "concentration_process": maybe(0.3, lambda: f"cp-{rng.randrange(3)}"),
+            "ore_control": maybe(0.3, lambda: f"oc-{rng.randrange(3)}"),
+            "structure": maybe(0.3, lambda: f"st-{rng.randrange(3)}"),
+            "tectonic": maybe(0.4, lambda: f"belt-{rng.randrange(4)}"),
+        }
+        for rock in ("host_rock", "associated_rock"):
+            if rng.random() < 0.4:
+                g[rock] = {
+                    "unit": maybe(0.6, lambda: f"u-{rng.randrange(3)}"),
+                    "type": maybe(0.6, lambda: f"r-{rng.randrange(4)}"),
+                }
+            else:
+                g[rock] = None
+        return g
+
+    def gen_dts():
+        out = []
+        for i in range(rng.randrange(4)):
+            out.append(
+                {
+                    "source": f"s{rng.randrange(3)}",
+                    "confidence": rng.choice([0.5, 0.7, 0.9]),
+                    "observed_name": None,
+                    # None uri → skipped by both sides
+                    "normalized_uri": rng.choice(
+                        [None, MR + f"Q{rng.randrange(1, 5)}"]
+                    ),
+                }
+            )
+        return out
+
+    ts_counter = [1_000_000]
+
+    def gen_site(gid, i):
+        ts_counter[0] += rng.randrange(1, 50)
+        expert = rng.random() < 0.3
+        has_coords = rng.random() < 0.6
+        return {
+            "dedup_site_id": gid,
+            "site_id": f"{gid}__s{i}",
+            "source_id": f"https://src.example.org/{rng.randrange(3)}",
+            "source_score": rng.choice([None, None, 0.0, 0.2, 0.75, 1.0, -1.0]),
+            "record_id": f"r{rng.randrange(1000)}",
+            "created_by": rng.choice(EXPERTS) if expert else SYS,
+            "modified_at": ts_counter[0],
+            "name": maybe(0.6, lambda: f"Site {rng.randrange(100)}"),
+            "type": maybe(0.6, lambda: rng.choice(["Mine", "Prospect"])),
+            "rank": maybe(0.6, lambda: rng.choice(["A", "B", "U"])),
+            "lat": rng.uniform(-60, 60) if has_coords else None,
+            "lon": rng.uniform(-170, 170) if has_coords else None,
+            "country": rng.choice([[], [f"Q{100 + rng.randrange(4)}"]]),
+            "state_or_province": rng.choice(
+                [[], [f"Q{200 + rng.randrange(4)}"], [f"Q{210}", f"Q{211}"]]
+            ),
+            "mineral_form": rng.choice([[], ["pyrite"], ["galena", "sphalerite"]]),
+            "geology_info": gen_geo(),
+            "discovered_year": maybe(0.3, lambda: 1850 + rng.randrange(170)),
+            "deposit_type_candidates": gen_dts(),
+        }
+
+    n_groups = 220
+    groups = {
+        f"dg{k:04d}": [gen_site(f"dg{k:04d}", i) for i in range(rng.randrange(1, 7))]
+        for k in range(n_groups)
+    }
+
+    # -- engine: one Spark job over every fuzz group through the real path --
+    schema = StructType(
+        [
+            StructField("dedup_site_id", StringType(), False),
+            StructField("site_id", StringType(), False),
+            StructField("source_id", StringType(), False),
+            StructField("source_score", DoubleType(), True),
+            StructField("record_id", StringType(), False),
+            StructField("created_by", StringType(), False),
+            StructField("modified_at", LongType(), False),
+            StructField("name", StringType(), True),
+            StructField("type", StringType(), True),
+            StructField("rank", StringType(), True),
+            StructField("lat", DoubleType(), True),
+            StructField("lon", DoubleType(), True),
+            StructField("country", ArrayType(StringType()), True),
+            StructField("state_or_province", ArrayType(StringType()), True),
+            StructField("mineral_form", ArrayType(StringType()), True),
+            StructField("geology_info", GEOLOGY_INFO, True),
+            StructField("discovered_year", IntegerType(), True),
+            StructField(
+                "deposit_type_candidates", ArrayType(CANDIDATE_ENTITY), True
+            ),
+        ]
+    )
+
+    def rock_tuple(r):
+        return None if r is None else (r.get("unit"), r.get("type"))
+
+    rows = []
+    for sites in groups.values():
+        for s in sites:
+            g = s["geology_info"]
+            geo_t = (
+                None
+                if g is None
+                else (
+                    g["alteration"],
+                    g["concentration_process"],
+                    g["ore_control"],
+                    rock_tuple(g["host_rock"]),
+                    rock_tuple(g["associated_rock"]),
+                    g["structure"],
+                    g["tectonic"],
+                )
+            )
+            dts_t = [
+                (d["source"], d["confidence"], d["observed_name"], d["normalized_uri"])
+                for d in s["deposit_type_candidates"]
+            ]
+            rows.append(
+                (
+                    s["dedup_site_id"],
+                    s["site_id"],
+                    s["source_id"],
+                    s["source_score"],
+                    s["record_id"],
+                    s["created_by"],
+                    s["modified_at"],
+                    s["name"],
+                    s["type"],
+                    s["rank"],
+                    s["lat"],
+                    s["lon"],
+                    s["country"],
+                    s["state_or_province"],
+                    s["mineral_form"],
+                    geo_t,
+                    s["discovered_year"],
+                    dts_t,
+                )
+            )
+    df = spark.createDataFrame(rows, schema)
+    got_by_id = {r["dedup_site_id"]: r.asDict(True) for r in merge_dedup_sites(df).collect()}
+    assert set(got_by_id) == set(groups)
+
+    # -- reference: executed from_sites per group ---------------------------
+    def duck(s):
+        g = s["geology_info"]
+        geo = None
+        if g is not None:
+            geo = NS(
+                alteration=g["alteration"],
+                concentration_process=g["concentration_process"],
+                ore_control=g["ore_control"],
+                structure=g["structure"],
+                tectonic=g["tectonic"],
+                host_rock=None if g["host_rock"] is None else NS(**g["host_rock"]),
+                associated_rock=(
+                    None
+                    if g["associated_rock"] is None
+                    else NS(**g["associated_rock"])
+                ),
+            )
+        ms = NS(
+            site_id=s["site_id"],
+            dedup_site_id=s["dedup_site_id"],
+            source_id=s["source_id"],
+            source_score=s["source_score"],
+            record_id=s["record_id"],
+            created_by=s["created_by"],
+            modified_at=s["modified_at"],
+            name=s["name"],
+            type=s["type"],
+            rank=s["rank"],
+            location_view=NS(
+                lat=s["lat"],
+                lon=s["lon"],
+                country=list(s["country"]),
+                state_or_province=list(s["state_or_province"]),
+            ),
+            mineral_form=list(s["mineral_form"]),
+            geology_info=geo,
+            discovered_year=s["discovered_year"],
+            deposit_type_candidates=[
+                NS(
+                    normalized_uri=d["normalized_uri"],
+                    source=d["source"],
+                    confidence=d["confidence"],
+                )
+                for d in s["deposit_type_candidates"]
+            ],
+        )
+        return NS(ms=ms, invs=[])
+
+    def ref_opt(rv):
+        return None if rv is None else {"value": rv.value, "refid": rv.refid}
+
+    def sparse_geo(rg):
+        """RefGeologyInfo → the engine's sparse dict shape."""
+        if rg is None:
+            return None
+        out = {}
+        for f in (
+            "alteration",
+            "concentration_process",
+            "ore_control",
+            "structure",
+            "tectonic",
+        ):
+            v = getattr(rg, f)
+            if v is not None:
+                out[f] = {"value": v.value, "refid": v.refid}
+        for f in ("host_rock", "associated_rock"):
+            rock = getattr(rg, f)
+            if rock is None:
+                continue
+            sub = {}
+            if rock.unit is not None:
+                sub["unit"] = {"value": rock.unit.value, "refid": rock.unit.refid}
+            if rock.type is not None:
+                sub["type"] = {"value": rock.type.value, "refid": rock.type.refid}
+            if sub:
+                out[f] = sub
+        return out or None
+
+    n_geo_checked = 0
+    for gid, sites in groups.items():
+        want = rd.from_sites([duck(s) for s in sites], dedup_site_id=gid).dms
+        got = got_by_id[gid]
+        assert got["name"] == ref_opt(want.name), gid
+        assert got["type"] == ref_opt(want.type), gid
+        assert got["rank"] == ref_opt(want.rank), gid
+        assert got["discovered_year"] == ref_opt(want.discovered_year), gid
+        assert got["top1_deposit_type"] == want.top1_deposit_type, gid
+        want_dts = [
+            {**dt.value.to_dict(), "refid": dt.refid}
+            for dt in want.ranked_deposit_types
+        ]
+        assert got["ranked_deposit_types"] == want_dts, gid
+        want_coords = (
+            None
+            if want.coordinates is None
+            else {
+                "lat": want.coordinates.value.lat,
+                "lon": want.coordinates.value.lon,
+                "refid": want.coordinates.refid,
+            }
+        )
+        assert got["coordinates"] == want_coords, gid
+        for f in ("country", "state_or_province", "mineral_form"):
+            rv = getattr(want, f)
+            assert got[f] == {"value": rv.value, "refid": rv.refid}, (gid, f)
+        want_geo = sparse_geo(want.geology_info)
+        got_geo = (
+            None if got["geology_info"] is None else _json.loads(got["geology_info"])
+        )
+        assert got_geo == want_geo, gid
+        if want_geo is not None:
+            n_geo_checked += 1
+        want_ranked = [
+            {
+                "site_id": s.site_id,
+                "score": s.score.score,
+                "is_expert": s.score.suborder.is_expert,
+            }
+            for s in want.ranked_sites
+        ]
+        assert got["ranked_sites"] == want_ranked, gid
+        assert got["modified_at"] == want.modified_at, gid
+    assert len(groups) >= 200 and n_geo_checked >= 50, (len(groups), n_geo_checked)
