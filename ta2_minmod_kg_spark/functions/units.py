@@ -55,20 +55,37 @@ PERCENT_INCOMPATIBLE = {
     ).split()
 }
 
-# factor tables (value_in_target = value * factor)
-TO_MT_FACTOR = {
-    UNIT_MT: 1.0,
-    UNIT_TONNES: 1.0 / 1_000_000,
-    UNIT_M_SHORT_TONS: 1.0 / 1.10231,
-    UNIT_SHORT_TONS: 1.0 / 1_000_000 / 1.10231,
-    UNIT_M_LBS: 0.000454,
+# conversion ops, BIT-EXACT to the reference's arithmetic
+# (grade_tonnage_model.py:509-543): the reference DIVIDES by the listed
+# divisors in sequence (or multiplies, for Q215) — multiplying by a
+# precomputed reciprocal instead diverges by ~1 ulp, which is enough to
+# flip a round(x, 6) boundary (caught by the kg_cdr_export oracle).
+# entry = ("div", (d1, d2, ...)) → value / d1 / d2 ...; ("mul", (m,)) →
+# value * m.
+TO_MT_OPS = {
+    UNIT_MT: ("mul", (1.0,)),
+    UNIT_TONNES: ("div", (1_000_000.0,)),
+    UNIT_M_SHORT_TONS: ("div", (1.10231,)),
+    UNIT_SHORT_TONS: ("div", (1_000_000.0, 1.10231)),
+    UNIT_M_LBS: ("mul", (0.000454,)),
 }
-TO_PERCENT_FACTOR = {
-    UNIT_PERCENT: 1.0,
-    UNIT_GRAMS_PER_TONNE: 1.0 / 10_000,
-    UNIT_PPM: 1.0 / 10_000,
-    UNIT_KG_PER_TONNE: 1.0 / 10,
+TO_PERCENT_OPS = {
+    UNIT_PERCENT: ("mul", (1.0,)),
+    UNIT_GRAMS_PER_TONNE: ("div", (10_000.0,)),
+    UNIT_PPM: ("div", (10_000.0,)),
+    UNIT_KG_PER_TONNE: ("div", (10.0,)),
 }
+
+
+def _apply_ops(value: float, op) -> float:
+    kind, factors = op
+    if kind == "mul":
+        for f in factors:
+            value = value * f
+    else:
+        for f in factors:
+            value = value / f
+    return value
 
 
 def unit_conversion(value: float, unit: str, to_unit: str) -> float:
@@ -77,37 +94,41 @@ def unit_conversion(value: float, unit: str, to_unit: str) -> float:
     if unit == to_unit:
         return value
     if to_unit == UNIT_MT:
-        if unit in TO_MT_FACTOR:
-            return value * TO_MT_FACTOR[unit]
+        if unit in TO_MT_OPS:
+            return _apply_ops(value, TO_MT_OPS[unit])
         if unit in WEIGHT_INCOMPATIBLE:
             raise UnconvertibleUnitError((value, unit, to_unit))
         raise NotImplementedError((value, unit, to_unit))
     if to_unit == UNIT_PERCENT:
-        if unit in TO_PERCENT_FACTOR:
-            return value * TO_PERCENT_FACTOR[unit]
+        if unit in TO_PERCENT_OPS:
+            return _apply_ops(value, TO_PERCENT_OPS[unit])
         if unit in PERCENT_INCOMPATIBLE:
             raise UnconvertibleUnitError((value, unit, to_unit))
         raise NotImplementedError((value, unit, to_unit))
     raise NotImplementedError((value, unit, to_unit))
 
 
-def _factor_col(unit: Column, table: dict[str, float]) -> Column:
+def _ops_col(value: Column, unit: Column, table: dict[str, tuple]) -> Column:
     expr = F.lit(None).cast("double")
-    for u, f in table.items():
-        expr = F.when(unit == F.lit(u), F.lit(f)).otherwise(expr)
+    for u, (kind, factors) in table.items():
+        conv = value
+        for f in factors:
+            conv = conv * F.lit(f) if kind == "mul" else conv / F.lit(f)
+        expr = F.when(unit == F.lit(u), conv).otherwise(expr)
     return expr
 
 
 def tonnage_mt_col(value: Column, unit: Column) -> Column:
-    """value×factor → Mt; NULL when the unit is not tonnage-convertible.
+    """value → Mt (same division chains as the scalar form, bit-exact to
+    the reference); NULL when the unit is not tonnage-convertible.
 
     JVM-side (whole-stage codegen) — use this for bulk normalization where
     the skip-on-unconvertible semantics of the model is expressed as a
     NULL filter instead of an exception.
     """
-    return value * _factor_col(unit, TO_MT_FACTOR)
+    return _ops_col(value, unit, TO_MT_OPS)
 
 
 def grade_pct_col(value: Column, unit: Column) -> Column:
-    """value×factor → percent; NULL when not grade-convertible."""
-    return value * _factor_col(unit, TO_PERCENT_FACTOR)
+    """value → percent; NULL when not grade-convertible."""
+    return _ops_col(value, unit, TO_PERCENT_OPS)

@@ -766,36 +766,22 @@ def _load_refshim():
     return mod.load_reference()
 
 
-def kg_grade_tonnage_oracle_sql(n_sites: int) -> str:
-    """Hard oracle for kg_grade_tonnage (VERDICT r04 #1 — 'the genuinely
-    hard one').
-
-    The per-(site, commodity) inventory groups are re-derived from the raw
+def _gt_inventory_groups(
+    n_sites: int,
+) -> dict[tuple[str, str], list[tuple[bool, dict]]]:
+    """Per-(site, commodity) inventory groups re-derived from the RAW
     synthetic records by plain dict traversal (no Spark, no
-    operators/extract.py), then the REFERENCE'S OWN ``GradeTonnageModel``
-    (`minmodkg/grade_tonnage_model.py:245-459`, executed via
-    tests/refshim.py — the same loader behind the pass(R) parity gates) is
-    run on each group.  The expected totals are inlined UNROUNDED as
-    VALUES; the only SQL-side computation is ``round(x, 6)``, matching the
-    engine entry's ``F.round`` (both half-away-from-zero on doubles —
-    python's banker's ``round()`` would not).
-
-    Independence: zero engine code touches the expected values — the
-    traversal restates explode_inventories' field mapping
+    operators/extract.py) — the shared input of the grade-tonnage and CDR
+    oracles.  Restates explode_inventories' field mapping
     (`operators/extract.py:489-553` semantics: commodity must be
     normalized; ``valid_gt`` checks ore/grade value+unit and a non-empty
     RAW category list; category URIs keep only normalized entries;
-    material-form conversion resolves via the commodity_form vocabulary)
-    and the model itself is the reference's code, not the engine's
-    Arrow kernel.
+    material-form conversion resolves via the commodity_form vocabulary).
     """
     from ..operators.extract import _site_structurally_valid
     from ..sources import synthetic
     from ..sources.vocab import MR, synthetic_vocab
 
-    ref = _load_refshim()
-    MI = ref.grade_tonnage.GradeTonnageModel.MineralInventory
-    model = ref.grade_tonnage.GradeTonnageModel()
     form_conv = {
         MR + r["minmod_id"]: float(r["conversion"])
         for r in synthetic_vocab()["commodity_form"]
@@ -841,13 +827,22 @@ def kg_grade_tonnage_oracle_sql(n_sites: int) -> str:
                     "grade_unit": (grade.get("unit") or {}).get("normalized_uri"),
                 }
                 groups.setdefault((sid, commodity), []).append((valid, entry))
+    return groups
 
-    rows = []
-    for (sid, comm), invs in groups.items():
+
+def _gt_totals_py(ref, n_sites: int) -> dict[tuple[str, str], tuple]:
+    """(site_id, commodity) → (contained_metal, tonnage, grade) from the
+    REFERENCE'S OWN executed GradeTonnageModel over the pure traversal
+    (all-None when the model yields no total estimate — the reference's
+    null inventory view, kgrel/mineral_site.py:126-139)."""
+    MI = ref.grade_tonnage.GradeTonnageModel.MineralInventory
+    model = ref.grade_tonnage.GradeTonnageModel()
+    out = {}
+    for (sid, comm), invs in _gt_inventory_groups(n_sites).items():
         clean = [e for v, e in invs if v]
-        out = None
+        gt = None
         if clean:
-            out = model(
+            gt = model(
                 [
                     MI(
                         id=str(i),
@@ -863,12 +858,42 @@ def kg_grade_tonnage_oracle_sql(n_sites: int) -> str:
                     for i, e in enumerate(clean)
                 ]
             )
-        te = out.total_estimate if out is not None else None
+        te = gt.total_estimate if gt is not None else None
         if te is not None:
-            rows.append(
-                f"({_q(sid)}, {_q(comm)}, {te.contained_metal!r}, "
-                f"{te.tonnage!r}, {te.get_grade()!r})"
-            )
+            out[(sid, comm)] = (te.contained_metal, te.tonnage, te.get_grade())
+        else:
+            out[(sid, comm)] = (None, None, None)
+    return out
+
+
+def kg_grade_tonnage_oracle_sql(n_sites: int) -> str:
+    """Hard oracle for kg_grade_tonnage (VERDICT r04 #1 — 'the genuinely
+    hard one').
+
+    The per-(site, commodity) inventory groups are re-derived from the raw
+    synthetic records by plain dict traversal (no Spark, no
+    operators/extract.py), then the REFERENCE'S OWN ``GradeTonnageModel``
+    (`minmodkg/grade_tonnage_model.py:245-459`, executed via
+    tests/refshim.py — the same loader behind the pass(R) parity gates) is
+    run on each group.  The expected totals are inlined UNROUNDED as
+    VALUES; the only SQL-side computation is ``round(x, 6)``, matching the
+    engine entry's ``F.round`` (both half-away-from-zero on doubles —
+    python's banker's ``round()`` would not).
+
+    Independence: zero engine code touches the expected values — the
+    traversal restates explode_inventories' field mapping
+    (`operators/extract.py:489-553` semantics: commodity must be
+    normalized; ``valid_gt`` checks ore/grade value+unit and a non-empty
+    RAW category list; category URIs keep only normalized entries;
+    material-form conversion resolves via the commodity_form vocabulary)
+    and the model itself is the reference's code, not the engine's
+    Arrow kernel.
+    """
+    ref = _load_refshim()
+    rows = []
+    for (sid, comm), (cm, tn, gr) in _gt_totals_py(ref, n_sites).items():
+        if cm is not None:
+            rows.append(f"({_q(sid)}, {_q(comm)}, {cm!r}, {tn!r}, {gr!r})")
         else:
             rows.append(f"({_q(sid)}, {_q(comm)}, NULL, NULL, NULL)")
     values = ",\n".join(rows)
@@ -880,4 +905,327 @@ SELECT site_id, commodity,
 FROM (VALUES
 {values}) AS t(site_id, commodity, contained_metal, tonnage, grade)
 ORDER BY site_id, commodity
+"""
+
+
+# -- kg_cdr_export oracle (VERDICT r04 #9) ------------------------------------
+
+
+def _cc_min_label(nodes, edges) -> dict:
+    """Connected components with min-node canonical labels (the recursive
+    ``reach``/``greach`` CTEs of _membership_ctes, restated as union-find)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for n in nodes:
+        comp[n] = find(n)
+    return comp
+
+
+def _membership_py(n_sites: int) -> dict[str, str]:
+    """site_id → canonical component (min member id): the G1-G5 program of
+    ``_membership_ctes`` translated to pure python over the same
+    ``_sameas_inputs`` — auto CC, curated positive/negative override
+    (latest-negative wins per pair), gold CC over kept positives,
+    dissolution of affected auto components into gold + remainder, then
+    min-relabel.  Independent of operators/canonicalize.py."""
+    nodes, edges, curated = _sameas_inputs(n_sites)
+    node_set = sorted(set(nodes))
+    auto = _cc_min_label(node_set, edges)
+
+    pos: dict[tuple, int] = {}
+    neg: dict[tuple, int] = {}
+    for r in curated:
+        a, b = sorted((r["ms_1"], r["ms_2"]))
+        t = int(r["time_ns"])
+        if int(r["is_same"]) == 1:
+            pos[(a, b)] = max(pos.get((a, b), t), t)
+        else:
+            neg[(a, b)] = min(neg.get((a, b), t), t)
+    pos_kept = [p for p, t in pos.items() if p not in neg or neg[p] > t]
+    gold_nodes = sorted({x for p in pos for x in p})
+    gold = _cc_min_label(gold_nodes, pos_kept)
+
+    affected = {auto[n] for n in gold_nodes if n in auto}
+    member: dict[str, str] = {}
+    for n in node_set:
+        c = auto[n]
+        if c not in affected:
+            member[n] = c
+        elif n in gold:
+            member[n] = gold[n]
+        else:
+            member[n] = "rem__" + c
+    # min-relabel within final components (canonm)
+    canon: dict[str, str] = {}
+    for n, c in member.items():
+        canon[c] = min(canon.get(c, n), n)
+    return {n: canon[c] for n, c in member.items()}
+
+
+def _load_ref_dedup_exec():
+    """Load tests/ref_dedup_exec.py by file path (tests/ is not a package)
+    and return the executed-reference dedup namespace."""
+    import importlib.util
+    import os
+    import sys
+
+    tests_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "tests")
+    )
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    p = os.path.join(tests_dir, "ref_dedup_exec.py")
+    spec = importlib.util.spec_from_file_location("kg_oracle_ref_dedup", p)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _cdr_expected_records(n_sites: int) -> list[tuple[str, str, str]]:
+    """(dedup_site_id, commodity, json) expected rows for kg_cdr_export,
+    computed by the REFERENCE'S OWN executed chain with zero engine code
+    in the decision path:
+
+    - membership: ``_membership_py`` (pure-python G1-G5 restatement);
+    - attribute merge + ranking: the reference's ``from_sites`` +
+      ``RefGeologyInfo.from_sites`` + ``top_5_deposit_types`` (AST-loaded,
+      tests/ref_dedup_exec.py);
+    - inventory selection: the reference's ``select_inventories``;
+    - grade-tonnage totals: the reference's ``GradeTonnageModel`` over the
+      pure dict traversal (``_gt_totals_py``);
+    - record shaping: the reference's ``format_dedup_site`` + pydantic
+      ``model_dump_json(exclude_none=True)`` (cdr_schemas.py imported
+      directly);
+    - public-model defaults: ``DedupMineralSitePublic.from_kgrel``
+      semantics restated (api/models/public_dedup_mineral_site.py:208-243
+      — name ''/'NotSpecified'/'U' fallbacks, location None-iff-empty,
+      format_nanoseconds via the reference's misc.utils).
+
+    Two engine helpers are borrowed for INPUT derivation only, each with
+    its own independent test coverage: ``_site_structurally_valid``
+    (P6, refshim-fuzzed) and ``_wkt_centroid`` (P3, pure-Snyder math
+    goldens) — the reference's own corpus generator uses the same forward
+    transforms, so restating the inverse here would re-derive the same
+    code, not add independence.  GT doubles are UNROUNDED — the engine's
+    A1 kernel is bit-exact to the reference model since the r5
+    unit-conversion fix (functions/units.py), so the value-hash compares
+    full doubles.
+    """
+    import importlib
+    from types import SimpleNamespace as NS
+
+    from ..operators.extract import _site_structurally_valid, _wkt_centroid
+    from ..sources import synthetic
+    from ..sources.vocab import MR, synthetic_vocab
+
+    rde = _load_ref_dedup_exec()
+    rd = rde.load_ref_dedup()
+    ref = _load_refshim()
+    fmt_ns = importlib.import_module("minmodkg.misc.utils").format_nanoseconds
+
+    v = synthetic_vocab()
+    crs_names = {r["minmod_id"]: r["name"] for r in v["crs"]}
+    source_scores = {
+        r["uri"]: (float(r["score"]) if r["score"] is not None else None)
+        for r in v["data_source"]
+    }
+    commodity_id2name = {r["minmod_id"]: r["name"] for r in v["commodity"]}
+    country_id2name = {r["minmod_id"]: r["name"] for r in v["country"]}
+    province_id2name = {r["minmod_id"]: r["name"] for r in v["state_or_province"]}
+
+    gt_totals = _gt_totals_py(ref, n_sites)
+
+    from datetime import datetime
+
+    def parse_ns(s: str) -> int:
+        # the reference's float path (misc/utils.py:166-171)
+        if s.endswith("Z"):
+            s = s[:-1] + "+00:00"
+        return int(datetime.fromisoformat(s).timestamp() * 1e9)
+
+    def norm_ids(entities):
+        return [
+            e["normalized_uri"][len(MR):]
+            if e["normalized_uri"].startswith(MR)
+            else e["normalized_uri"]
+            for e in (entities or [])
+            if e.get("normalized_uri") is not None
+        ]
+
+    def rock(d):
+        return None if d is None else NS(unit=d.get("unit"), type=d.get("type"))
+
+    # -- duck MineralSiteAndInventory per corpus record ---------------------
+    sites_by_id: dict[str, object] = {}
+    for n in range(n_sites):
+        variants = [False] + ([True] if synthetic.has_expert_dup(n) else [])
+        for expert in variants:
+            rec = synthetic.make_record(n, n_sites, expert=expert)
+            if not _site_structurally_valid(rec, None):
+                continue
+            sid = synthetic.site_id_of(n, n_sites, expert=expert)
+            loc = rec.get("location_info") or {}
+            crs_uri = (loc.get("crs") or {}).get("normalized_uri")
+            crs_name = (
+                "EPSG:4326"
+                if crs_uri is None
+                else crs_names.get(crs_uri[len(MR):])
+            )
+            lat, lon = _wkt_centroid(loc.get("location"), crs_name)
+            g = rec.get("geology_info")
+            geo = (
+                None
+                if g is None
+                else NS(
+                    alteration=g.get("alteration"),
+                    concentration_process=g.get("concentration_process"),
+                    ore_control=g.get("ore_control"),
+                    structure=g.get("structure"),
+                    tectonic=g.get("tectonic"),
+                    host_rock=rock(g.get("host_rock")),
+                    associated_rock=rock(g.get("associated_rock")),
+                )
+            )
+            invs = [
+                rde.DuckInvView(
+                    commodity=comm,
+                    contained_metal=cm,
+                    tonnage=tn,
+                    grade=gr,
+                    date=None,
+                )
+                for (s2, comm), (cm, tn, gr) in gt_totals.items()
+                if s2 == sid
+            ]
+            ms = NS(
+                site_id=sid,
+                dedup_site_id=None,
+                source_id=rec["source_id"],
+                source_score=source_scores.get(rec["source_id"]),
+                record_id=str(rec["record_id"]),
+                created_by=rec["created_by"],
+                modified_at=parse_ns(rec["modified_at"]),
+                name=rec.get("name"),
+                type=rec.get("site_type"),
+                rank=rec.get("site_rank"),
+                location_view=NS(
+                    lat=lat,
+                    lon=lon,
+                    country=norm_ids(loc.get("country")),
+                    state_or_province=norm_ids(loc.get("state_or_province")),
+                ),
+                mineral_form=list(rec.get("mineral_form") or []),
+                geology_info=geo,
+                discovered_year=rec.get("discovered_year"),
+                deposit_type_candidates=[
+                    NS(
+                        normalized_uri=d.get("normalized_uri"),
+                        source=d.get("source"),
+                        confidence=d.get("confidence"),
+                    )
+                    for d in (rec.get("deposit_type_candidate") or [])
+                ],
+            )
+            sites_by_id[sid] = NS(ms=ms, invs=invs)
+
+    # -- groups → reference from_sites → public duck → formatter ------------
+    membership = _membership_py(n_sites)
+    groups: dict[str, list] = {}
+    for sid, canon in membership.items():
+        groups.setdefault("dedup_" + canon, []).append(sites_by_id[sid])
+
+    SiteScore = rd.SiteScore
+    out_rows: list[tuple[str, str, str]] = []
+    for dedup_id, members in groups.items():
+        # pre-sort by (SiteScore, site_id) DESC so the reference's stable
+        # sort reproduces the engine's deterministic tie-break on EXACT
+        # SiteScore ties (production ns timestamps make these impossible;
+        # the synthetic corpus keeps them possible in principle)
+        members = sorted(
+            members,
+            key=lambda m: (SiteScore.get_score(m.ms), m.ms.site_id),
+            reverse=True,
+        )
+        dmsi = rd.from_sites(members, dedup_site_id=dedup_id)
+        dms = dmsi.dms
+
+        loc = NS(
+            lat=(dms.coordinates.value.lat if dms.coordinates else None),
+            lon=(dms.coordinates.value.lon if dms.coordinates else None),
+            country=dms.country.value,
+            state_or_province=dms.state_or_province.value,
+        )
+        if (
+            loc.lat is None
+            and loc.lon is None
+            and not loc.country
+            and not loc.state_or_province
+        ):
+            loc = None
+        pub = NS(
+            id=dedup_id,
+            sites=[NS(id=s.site_id) for s in dms.ranked_sites],
+            name=dms.name.value if dms.name is not None else "",
+            type=dms.type.value if dms.type is not None else "NotSpecified",
+            rank=dms.rank.value if dms.rank is not None else "U",
+            location=loc,
+            deposit_types=[
+                NS(
+                    id=dt.value.id,
+                    source=dt.value.source,
+                    confidence=dt.value.confidence,
+                )
+                for dt in dms.ranked_deposit_types
+            ],
+            grade_tonnage=[
+                NS(
+                    commodity=inv.commodity,
+                    total_contained_metal=inv.contained_metal,
+                    total_tonnage=inv.tonnage,
+                    total_grade=inv.grade,
+                )
+                for inv in dmsi.invs
+            ],
+            modified_at=fmt_ns(dms.modified_at),
+        )
+        recs = rd.format_dedup_site(
+            pub, commodity_id2name, country_id2name, province_id2name
+        )
+        # format_dedup_site appends one record per grade_tonnage entry in
+        # order — zip recovers the commodity INTERNAL id (names need not
+        # be unique)
+        for gt, rec_model in zip(pub.grade_tonnage, recs):
+            d = json.loads(rec_model.model_dump_json(exclude_none=True))
+            out_rows.append(
+                (dedup_id, gt.commodity, json.dumps(d, sort_keys=True))
+            )
+    return sorted(out_rows)
+
+
+def kg_cdr_export_oracle_sql(n_sites: int) -> str:
+    """VALUES oracle for kg_cdr_export: the expected CDR records computed
+    by the executed-reference chain (see _cdr_expected_records)."""
+    values = ",\n".join(
+        f"({_q(d)}, {_q(c)}, {_q(j)})" for d, c, j in _cdr_expected_records(n_sites)
+    )
+    return f"""
+SELECT dedup_site_id, commodity, json
+FROM (VALUES
+{values}) AS t(dedup_site_id, commodity, json)
+ORDER BY dedup_site_id, commodity
 """

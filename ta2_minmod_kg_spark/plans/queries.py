@@ -1519,6 +1519,51 @@ def kg_stats(spark, sf_dir):
     return out
 
 
+def kg_cdr_export(spark, sf_dir):
+    """CDR export projection over the synthetic corpus (VERDICT r04 #9):
+    one CDR DedupSite JSON record per (dedup site, grade-tonnage
+    commodity), via the engine's full extract → membership → merge →
+    select-inventories → ``cdr_export_json_rows`` chain
+    (ref integrations/cdr/cdr.py:120-201 format_dedup_site).
+
+    The JSON is UNROUNDED — the engine's Arrow GT kernel is bit-exact to
+    the reference's GradeTonnageModel since the r5 unit-conversion fix
+    (functions/units.py divides in the reference's exact sequence), so the
+    driver's value-hash compares full doubles.  Raw-valued byte parity vs
+    the reference's executed formatter is separately asserted in
+    tests/test_export.py.
+
+    Hard oracle: plans/kg_oracles.py kg_cdr_export_oracle_sql — expected
+    records computed by the REFERENCE'S OWN executed chain
+    (from_sites → select_inventories → GradeTonnageModel →
+    format_dedup_site) over a pure-python restatement of the corpus
+    traversal and the G1-G5 membership program, inlined as VALUES.
+    """
+    from ..operators import dedup, extract, grade_tonnage
+    from ..plans.export import cdr_export_json_rows
+    from ..sources.vocab import synthetic_vocab
+
+    _, vdfs, sites, membership = _kg_outputs(spark)
+    swd = sites.drop("dedup_site_id").join(membership, "site_id")
+    dedup_attrs = dedup.merge_dedup_sites(swd)
+    gt = grade_tonnage.grade_tonnage_view(extract.explode_inventories(sites, vdfs))
+    dedup_invs = dedup.select_dedup_inventories(swd, gt)
+
+    v = synthetic_vocab()
+    commodity_id2name = {r["minmod_id"]: r["name"] for r in v["commodity"]}
+    country_id2name = {r["minmod_id"]: r["name"] for r in v["country"]}
+    province_id2name = {r["minmod_id"]: r["name"] for r in v["state_or_province"]}
+
+    out = cdr_export_json_rows(
+        dedup_attrs,
+        dedup_invs,
+        commodity_id2name,
+        country_id2name,
+        province_id2name,
+    ).orderBy("dedup_site_id", "commodity")
+    return out
+
+
 def mm_image_stats(spark, sf_dir):
     """Multimodal driver entry (VERDICT r02 #6): decode a deterministic
     REAL BMP/PPM asset table with the pure-python codecs
@@ -1587,6 +1632,7 @@ QUERIES = {
     "kg_sameas_triples": kg_sameas_triples,
     "kg_stats": kg_stats,
     "kg_lod_closure": kg_lod_closure,
+    "kg_cdr_export": kg_cdr_export,
     "mm_image_stats": mm_image_stats,
 }
 
@@ -1639,5 +1685,11 @@ try:
     ORACLE_SQL["kg_grade_tonnage"] = kg_grade_tonnage_oracle_sql(_KG_N)
 except Exception:  # pragma: no cover — reference checkout unavailable
     pass  # kg_grade_tonnage stays rows-only (invariant-guarded)
+try:
+    from .kg_oracles import kg_cdr_export_oracle_sql  # noqa: E402
+
+    ORACLE_SQL["kg_cdr_export"] = kg_cdr_export_oracle_sql(_KG_N)
+except Exception:  # pragma: no cover — reference checkout unavailable
+    pass  # kg_cdr_export stays rows-only
 # closure entry runs on its own 60-site corpus (kg_lod_closure docstring)
 ORACLE_SQL["kg_lod_closure"] = kg_lod_closure_oracle_sql(60)

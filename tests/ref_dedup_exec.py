@@ -95,6 +95,36 @@ def _extract(tree, src_path, node_filter, ns):
     return ns[fn.name]
 
 
+def _load_ref_cdr_formatter():
+    """The reference's EXECUTED ``format_dedup_site``
+    (integrations/cdr/cdr.py:120-201): cdr_schemas.py is imported directly
+    (pure pydantic); the formatter function is extracted from cdr.py by
+    AST because the module's top-level imports (httpx/serde/loguru) are
+    not in this container.  Same technique as tests/test_export.py."""
+    schemas = _file_mod(
+        "ref_cdr_schemas_shared", f"{REF}/integrations/cdr/cdr_schemas.py"
+    )
+    src = f"{REF}/integrations/cdr/cdr.py"
+    tree = ast.parse(open(src).read())
+    ns = {
+        "DedupSite": schemas.DedupSite,
+        "DedupSiteRecord": schemas.DedupSiteRecord,
+        "DepositTypeCandidate": schemas.DepositTypeCandidate,
+        "MINMOD_SYSTEM": "minmod",  # cdr_helper.py:25 default
+        "DedupMineralSitePublic": object,
+        "InternalID": str,
+        "list": list,
+        "dict": dict,
+    }
+
+    def _toplevel_fn(t):
+        for node in t.body:
+            if isinstance(node, ast.FunctionDef) and node.name == "format_dedup_site":
+                yield node
+
+    return _extract(tree, src, _toplevel_fn, ns)
+
+
 def load_ref_dedup():
     """Load (cached) the executed-reference dedup namespace."""
     global _CACHE
@@ -219,6 +249,7 @@ def load_ref_dedup():
         from_sites=lambda sites, dedup_site_id=None: from_sites(
             DuckDedupMineralSite, sites, dedup_site_id
         ),
+        format_dedup_site=_load_ref_cdr_formatter(),
         select_inventories=select_inventories,
         top_5_deposit_types=top_5_deposit_types,
         RefValue=rv.RefValue,

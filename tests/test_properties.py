@@ -11,8 +11,8 @@ from hypothesis import strategies as st
 
 from ta2_minmod_kg_spark.functions import ids, strsim
 from ta2_minmod_kg_spark.functions.units import (
-    TO_MT_FACTOR,
-    TO_PERCENT_FACTOR,
+    TO_MT_OPS,
+    TO_PERCENT_OPS,
     UNIT_MT,
     UNIT_PERCENT,
     unit_conversion,
@@ -48,7 +48,7 @@ def test_strsim_bounds_and_symmetry(a, b):
 
 @given(
     st.floats(min_value=0, max_value=1e9, allow_nan=False),
-    st.sampled_from(sorted(TO_MT_FACTOR)),
+    st.sampled_from(sorted(TO_MT_OPS)),
 )
 def test_tonnage_conversion_monotone(v, unit):
     out = unit_conversion(v, unit, UNIT_MT)
@@ -58,7 +58,7 @@ def test_tonnage_conversion_monotone(v, unit):
 
 @given(
     st.floats(min_value=0, max_value=100, allow_nan=False),
-    st.sampled_from(sorted(TO_PERCENT_FACTOR)),
+    st.sampled_from(sorted(TO_PERCENT_OPS)),
 )
 def test_grade_conversion_identity_on_same_unit(v, unit):
     assert unit_conversion(v, unit, unit) == v

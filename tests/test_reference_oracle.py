@@ -260,9 +260,12 @@ def test_grade_tonnage_fuzz_vs_reference(ref):
             return
         assert got is not None and got["total"] is not None, (scenario, ref_out)
         rt = ref_out.total_estimate
-        assert got["total"][0] == pytest.approx(rt.tonnage), scenario
-        assert got["total"][1] == pytest.approx(rt.contained_metal), scenario
-        assert total_grade_pct(got["total"]) == pytest.approx(rt.get_grade()), scenario
+        # BIT-EXACT since the r5 unit-conversion fix (functions/units.py
+        # now divides in the reference's exact sequence instead of
+        # multiplying by reciprocals — the old path diverged by ~1 ulp)
+        assert got["total"][0] == rt.tonnage, scenario
+        assert got["total"][1] == rt.contained_metal, scenario
+        assert total_grade_pct(got["total"]) == rt.get_grade(), scenario
 
     run()
 
