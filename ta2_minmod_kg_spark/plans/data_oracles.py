@@ -146,6 +146,7 @@ def build_data_oracles() -> dict[str, str]:
         "docs_simhash": docs_simhash_oracle_sql(),
         "mm_image_stats": mm_image_stats_oracle_sql(),
         "emb_ivf_recall": emb_ivf_recall_oracle_sql(),
+        "emb_ivf_topk": emb_ivf_topk_oracle_sql(),
     }
 
 
@@ -179,6 +180,28 @@ def emb_ivf_recall_oracle_sql(sf_dir: str | None = None) -> str:
     (a flip would need a genuine cosine tie at ~1e-15, which the random
     synthetic embeddings do not produce).
     """
+    exact, ivf = _ivf_pipeline(sf_dir or oracle_sf_dir())
+    values = []
+    for qid, ranked in ivf.items():
+        n_hit = len(set(ranked) & set(exact[qid]))
+        values.append(f"({qid},{n_hit})")
+    values.sort()
+    body = ",\n".join(values)
+    return f"""
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_hit AS BIGINT) AS n_hit
+FROM (VALUES
+{body}) AS t(query_id, n_hit)
+ORDER BY query_id
+"""
+
+
+def _ivf_pipeline(
+    sf_dir: str,
+) -> tuple[dict[int, list[int]], dict[int, list[int]]]:
+    """query_id → exact top-3 / IVF(nprobe=4) top-3 ORDERED neighbor-id
+    lists, recomputed entirely driver-side in numpy (shared by the
+    emb_ivf_recall and emb_ivf_topk oracles; see emb_ivf_recall_oracle_sql
+    for the independence argument)."""
     import struct
 
     import numpy as np
@@ -186,7 +209,7 @@ def emb_ivf_recall_oracle_sql(sf_dir: str | None = None) -> str:
     from ..functions.xxh import xxh64
 
     K, N_CENT, NPROBE, N_QUERIES = 3, 16, 4, 20
-    rows = _read_embeddings(sf_dir or oracle_sf_dir())
+    rows = _read_embeddings(sf_dir)
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     V = np.array([np.asarray(r[1], dtype=np.float32) for r in rows])
     # unit vectors: float32 elementwise squares accumulated in float64
@@ -226,7 +249,7 @@ def emb_ivf_recall_oracle_sql(sf_dir: str | None = None) -> str:
     assign = (U @ C.T).argmax(axis=1)
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :NPROBE]
 
-    values = []
+    ivf: dict[int, list[int]] = {}
     for qi, q in enumerate(qids):
         qid = int(q)
         cand = [
@@ -236,14 +259,29 @@ def emb_ivf_recall_oracle_sql(sf_dir: str | None = None) -> str:
         ]
         scores = U[cand] @ Q[qi]
         order = sorted(range(len(cand)), key=lambda j: (-scores[j], ids[cand[j]]))
-        ivf = {int(ids[cand[j]]) for j in order[:K]}
-        n_hit = len(ivf & set(exact[qid]))
-        values.append(f"({qid},{n_hit})")
-    values.sort()
+        ivf[qid] = [int(ids[cand[j]]) for j in order[:K]]
+    return exact, ivf
+
+
+def emb_ivf_topk_oracle_sql(sf_dir: str | None = None) -> str:
+    """Expected (query_id, rank, neighbor_id) rows for the nprobe<k IVF
+    search, from the same pure-numpy pipeline as emb_ivf_recall — the
+    search's actual neighbor CHOICES are hash-checked, not just recall
+    counts.  INTEGER-only output (the entry drops the cosine column —
+    emb_ivf_topk_exact value-hashes the cosines through the shared
+    re-rank kernel), so ulp-level summation-order differences between the
+    engine and this recomputation cannot flip an expected value: a flip
+    would need a genuine cosine tie at ~1e-15, absent in this data."""
+    _, ivf = _ivf_pipeline(sf_dir or oracle_sf_dir())
+    values = []
+    for qid, ranked in sorted(ivf.items()):
+        for rank, nid in enumerate(ranked, start=1):
+            values.append(f"({qid},{rank},{nid})")
     body = ",\n".join(values)
     return f"""
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_hit AS BIGINT) AS n_hit
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id
 FROM (VALUES
-{body}) AS t(query_id, n_hit)
-ORDER BY query_id
+{body}) AS t(query_id, rank, neighbor_id)
+ORDER BY query_id, rank
 """

@@ -805,15 +805,27 @@ WHERE rank <= 3 ORDER BY query_id, rank
 
 
 def emb_ivf_topk(spark, sf_dir):
-    """IVF ANN (deterministic k-means cells + nprobe search) — rows-only
-    (approximate by design; recall vs brute force asserted in pytest)."""
+    """IVF ANN (deterministic k-means cells + nprobe search).
+
+    Hard oracle (r5 promotion of the last rows-only entry): the search's
+    actual neighbor choices — (query_id, rank, neighbor_id), INTEGER-only
+    — against a pure-numpy driver-side recomputation of the whole IVF
+    pipeline (plans/data_oracles.py emb_ivf_topk_oracle_sql).  The cosine
+    column is deliberately dropped here: emb_ivf_topk_exact value-hashes
+    the cosines through the same re-rank kernel in exhaustive mode, and an
+    integer-only output makes the expected VALUES immune to ulp-level
+    summation-order differences."""
     from ..operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     return (
         ivf_topk(e, q, k=3, n_centroids=16, nprobe=4)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+        )
         .orderBy("query_id", "rank")
     )
 
