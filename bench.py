@@ -5,28 +5,34 @@ Runs:
    ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1);
 2. the KG construction pipeline (synthetic corpus) end-to-end, reporting
    triples/sec;
-3. the two-parallelism scaling probe required by BASELINE.md: the same
+3. the two-parallelism scaling probes required by BASELINE.md: the same
    KG job, same input, at N and 4N cores (default local[2] vs local[8];
    override with BENCH_SCALING_N/BENCH_SCALING_4N);
-   efficiency = (thr_4N / thr_N) / 4 on steady-state triples/sec.
+   efficiency = (thr_4N / thr_N) / 4 on steady-state triples/sec, median
+   over clean-lo x clean-hi cross-pairs.
 
 Timeout-proofing (VERDICT r04 #1 — BENCH_r04.json was rc 124 with
 NOTHING recorded because everything printed only at the very end):
 
 - the one-line summary JSON is RE-PRINTED (flushed) after every completed
   unit of work — each individual headline query, each KG trial, each
-  scaling pair — so the last ~2000 stdout chars the driver keeps always
+  scaling probe — so the last ~2000 stdout chars the driver keeps always
   contain a complete, parseable snapshot of everything finished so far
   (``"partial": true`` until the run completes);
 - ``BENCH_FULL.json`` is likewise rewritten incrementally;
 - the scaling loop is bounded by a WALL-CLOCK budget
   (``$BENCH_WALL_BUDGET`` seconds, default 2400 — comfortably under the
-  driver's timeout) and degrades to fewer pairs instead of silence;
+  driver's timeout) and degrades to fewer probes instead of silence;
 - probes are gated on a PRE-probe calm window (poll /proc/stat steal and
   start only when the recent box-wide steal rate is low — VERDICT r04
-  #2) rather than retried after contamination, so clean pairs accumulate
+  #2) rather than retried after contamination, so clean probes accumulate
   even on a noisy box; every recorded probe still carries its measured
-  in-run steal fraction for auditability.
+  in-run steal fraction for auditability;
+- scaling probes are single-SIDE and cross-paired (r5): any steal-clean
+  lo probe pairs with any steal-clean hi probe — both measure the same
+  job on the same input — so a clean median needs clean WINDOWS, not
+  clean back-to-back pair runs (the failure mode that cost rounds 3-5
+  their driver medians).
 """
 
 from __future__ import annotations
@@ -369,56 +375,68 @@ def _run_probe(args: list[str], cores: int) -> dict:
     return r
 
 
-def _scaling_block(pairs: list[dict], n_lo: int, n_hi: int) -> tuple[dict, dict]:
-    """(compact summary block, full detail block) from the pairs so far.
-    Medians are over steal-clean pairs when ≥3 exist, else over all."""
+def _scaling_block_cross(
+    lo_probes: list[dict], hi_probes: list[dict], n_lo: int, n_hi: int
+) -> tuple[dict, dict]:
+    """(compact summary, full detail) from single-side probes, medians
+    over the clean-lo × clean-hi CROSS-pairs (each probe is an
+    independent measurement of the same job on the same input, so every
+    clean combination is a valid efficiency sample).  Falls back to all
+    probes when either side has no clean sample — flagged in
+    ``median_basis`` so a contaminated record can never masquerade as a
+    clean one."""
+    ratio = n_hi / n_lo
 
-    def clean(p):
-        return not (
-            p["lo"].get("steal_contaminated") or p["hi"].get("steal_contaminated")
-        )
+    def clean(ps):
+        return [p for p in ps if not p.get("steal_contaminated")]
 
-    accepted = [p for p in pairs if clean(p)]
-    basis = "clean" if len(accepted) >= 3 else "all"
-    if len(accepted) < 3:
-        accepted = pairs
-    by_eff = sorted(accepted, key=lambda p: p["efficiency"])
-    by_pipe = sorted(accepted, key=lambda p: p["pipeline_efficiency"])
-    mid_e = by_eff[len(by_eff) // 2]
-    mid_p = by_pipe[len(by_pipe) // 2]
-    lo, hi = mid_p["lo"], mid_p["hi"]
+    c_lo, c_hi = clean(lo_probes), clean(hi_probes)
+    basis = "clean_cross" if c_lo and c_hi else "all_cross"
+    use_lo = c_lo if c_lo else lo_probes
+    use_hi = c_hi if c_hi else hi_probes
+    effs = sorted(
+        h["triples_per_sec"] / l["triples_per_sec"] / ratio
+        for l in use_lo
+        for h in use_hi
+    )
+    pipes = sorted(
+        l["wall_sec"] / h["wall_sec"] / ratio for l in use_lo for h in use_hi
+    )
+    med_lo = sorted(use_lo, key=lambda p: p["triples_per_sec"])[len(use_lo) // 2]
+    med_hi = sorted(use_hi, key=lambda p: p["triples_per_sec"])[len(use_hi) // 2]
     compact = {
         "cores_n": n_lo,
         "cores_4n": n_hi,
-        "n_pairs": len(pairs),
-        "n_clean_pairs": sum(1 for p in pairs if clean(p)),
+        "n_probes_lo": len(lo_probes),
+        "n_probes_hi": len(hi_probes),
+        "n_clean_lo": len(c_lo),
+        "n_clean_hi": len(c_hi),
+        "n_cross_pairs": len(effs),
         "median_basis": basis,
-        "thr_n_triples_per_sec": round(lo["triples_per_sec"], 1),
-        "thr_4n_triples_per_sec": round(hi["triples_per_sec"], 1),
-        "efficiency": round(mid_e["efficiency"], 3),
-        "efficiency_best": round(by_eff[-1]["efficiency"], 3),
-        "pipeline_thr_n": round(lo["n_triples"] / lo["wall_sec"], 1),
-        "pipeline_thr_4n": round(hi["n_triples"] / hi["wall_sec"], 1),
-        "pipeline_efficiency": round(mid_p["pipeline_efficiency"], 3),
-        "pipeline_efficiency_best": round(by_pipe[-1]["pipeline_efficiency"], 3),
+        "thr_n_triples_per_sec": round(med_lo["triples_per_sec"], 1),
+        "thr_4n_triples_per_sec": round(med_hi["triples_per_sec"], 1),
+        "efficiency": round(effs[len(effs) // 2], 3),
+        "efficiency_best": round(effs[-1], 3),
+        "pipeline_thr_n": round(med_lo["n_triples"] / med_lo["wall_sec"], 1),
+        "pipeline_thr_4n": round(med_hi["n_triples"] / med_hi["wall_sec"], 1),
+        "pipeline_efficiency": round(pipes[len(pipes) // 2], 3),
+        "pipeline_efficiency_best": round(pipes[-1], 3),
     }
+
+    def strip(p):
+        return {
+            "wall_sec": p["wall_sec"],
+            "triples_per_sec": p["triples_per_sec"],
+            "steal_frac_of_busy": p.get("steal_frac_of_busy"),
+            "calm_gate": p.get("calm_gate"),
+            "contaminated": bool(p.get("steal_contaminated")),
+        }
+
     detail = {
-        f"local_{n_lo}": lo,
-        f"local_{n_hi}": hi,
-        "pairs": [
-            {
-                "efficiency": round(p["efficiency"], 3),
-                "pipeline_efficiency": round(p["pipeline_efficiency"], 3),
-                "wall_lo": p["lo"]["wall_sec"],
-                "wall_hi": p["hi"]["wall_sec"],
-                "steal_lo": p["lo"].get("steal_frac_of_busy"),
-                "steal_hi": p["hi"].get("steal_frac_of_busy"),
-                "calm_gate_lo": p["lo"].get("calm_gate"),
-                "calm_gate_hi": p["hi"].get("calm_gate"),
-                "contaminated": not clean(p),
-            }
-            for p in pairs
-        ],
+        f"local_{n_lo}": med_lo,
+        f"local_{n_hi}": med_hi,
+        "probes_lo": [strip(p) for p in lo_probes],
+        "probes_hi": [strip(p) for p in hi_probes],
     }
     return compact, detail
 
@@ -520,57 +538,72 @@ def main():
         if trial == 0 and time_left() < r["wall_sec"] * 1.5 + 900:
             break
 
-    # -- phase 3: scaling pairs, budget-bounded, calm-gated ------------------
+    # -- phase 3: scaling probes, budget-bounded, calm-gated -----------------
+    #
+    # Single-SIDE probes with cross-pairing (r5 salvage protocol): each
+    # probe is an independent measurement of the same job on the same
+    # input, so any steal-clean lo can pair with any steal-clean hi.  On
+    # a bursty hypervisor this converges far faster than demanding both
+    # halves of a strict lo→hi pair to land clean back-to-back — the
+    # failure mode that left rounds 3-5 without a clean driver median.
     n_lo, n_hi = SCALING_CORES
-    ratio = n_hi / n_lo
-    pairs: list[dict] = []
-    est_pair = 420.0  # prior from r4 clean pair (~160 s lo + ~60 s hi + startup)
+    lo_probes: list[dict] = []
+    hi_probes: list[dict] = []
+    est = {"lo": 300.0, "hi": 120.0}  # wall + JVM startup priors
 
-    def clean_pairs() -> int:
-        return sum(
-            1
-            for p in pairs
-            if not (
-                p["lo"].get("steal_contaminated")
-                or p["hi"].get("steal_contaminated")
-            )
-        )
+    def n_clean(ps: list[dict]) -> int:
+        return sum(1 for p in ps if not p.get("steal_contaminated"))
 
-    # run until 5 clean pairs, 8 total, or the budget says stop; always
-    # attempt at least one pair even on a tight budget (partial evidence
-    # beats none — the emitter checkpoints after every pair)
-    while clean_pairs() < 5 and len(pairs) < 8:
-        if pairs and time_left() < est_pair * 1.15:
-            break
-        gate_lo = _calm_wait(min(90.0, max(0.0, time_left() - est_pair)))
-        lo_t = _run_probe(
-            ["--scaling-probe", str(n_lo), str(SCALING_N_SITES)], n_lo
+    # targets: 2 clean lo × 3 clean hi = 6 clean cross-pairs; ALTERNATE
+    # sides among those still short of target so a streak of contaminated
+    # probes on one side can't starve the other (hi probes are ~3×
+    # cheaper, so they absorb most of the retry budget anyway)
+    last_side = "hi"
+    while (
+        (n_clean(lo_probes) < 2 or n_clean(hi_probes) < 3)
+        and len(lo_probes) + len(hi_probes) < 14
+    ):
+        want = [
+            s
+            for s in ("lo", "hi")
+            if n_clean(lo_probes if s == "lo" else hi_probes)
+            < (2 if s == "lo" else 3)
+            and time_left() > est[s] * 1.15
+        ]
+        if not want:
+            if lo_probes or hi_probes:
+                break
+            # budget too tight for anything: still attempt one cheap hi
+            # probe — partial evidence beats none, emission is incremental
+            want = ["hi"]
+        # alternate: pick the side we did NOT just run when both are open
+        side = want[0] if len(want) == 1 else ("lo" if last_side == "hi" else "hi")
+        last_side = side
+        cores = n_lo if side == "lo" else n_hi
+        gate = _calm_wait(min(90.0, max(0.0, time_left() - est[side])))
+        t = _run_probe(
+            ["--scaling-probe", str(cores), str(SCALING_N_SITES)], cores
         )
-        lo_t["calm_gate"] = gate_lo
-        gate_hi = _calm_wait(min(30.0, max(0.0, time_left() - 120.0)))
-        hi_t = _run_probe(
-            ["--scaling-probe", str(n_hi), str(SCALING_N_SITES)], n_hi
-        )
-        hi_t["calm_gate"] = gate_hi
-        pair_wall = (
-            lo_t["wall_sec"] + hi_t["wall_sec"] + 60.0  # + 2 JVM startups
-        )
-        est_pair = 0.5 * est_pair + 0.5 * pair_wall
-        pairs.append(
-            {
-                "lo": lo_t,
-                "hi": hi_t,
-                "efficiency": (
-                    hi_t["triples_per_sec"] / lo_t["triples_per_sec"]
-                )
-                / ratio,
-                "pipeline_efficiency": (lo_t["wall_sec"] / hi_t["wall_sec"])
-                / ratio,
+        t["calm_gate"] = gate
+        est[side] = 0.5 * est[side] + 0.5 * (t["wall_sec"] + 30.0)
+        (lo_probes if side == "lo" else hi_probes).append(t)
+        if lo_probes and hi_probes:
+            compact, det = _scaling_block_cross(lo_probes, hi_probes, n_lo, n_hi)
+            em.summary["scaling"] = compact
+            em.detail.update(det)
+        else:
+            # one-sided so far: still record what ran (auditability —
+            # never a silently wasted probe)
+            em.summary["scaling"] = {
+                "cores_n": n_lo,
+                "cores_4n": n_hi,
+                "n_probes_lo": len(lo_probes),
+                "n_probes_hi": len(hi_probes),
+                "n_cross_pairs": 0,
+                "median_basis": "incomplete",
             }
-        )
-        compact, det = _scaling_block(pairs, n_lo, n_hi)
-        em.summary["scaling"] = compact
-        em.detail.update(det)
+            em.detail["probes_lo"] = lo_probes
+            em.detail["probes_hi"] = hi_probes
         em.emit()
 
     em.summary.pop("partial", None)
