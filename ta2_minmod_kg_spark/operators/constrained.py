@@ -366,3 +366,43 @@ def constrained_error_udf(content: pd.Series) -> pd.Series:
             # caller catches its deserializer's raises the same way.
             out.append("$")
     return pd.Series(out, dtype="object")
+
+
+def _structural_then_constrained(c) -> Optional[str]:
+    """split_violations semantics in ONE parse: the structural rules
+    (parseable document, identity fields present, exactly one site-level
+    reference — validators.py:44-54) checked FIRST and labelled
+    'structural', then the constrained-type tree.  Behavior-identical to
+    the former JVM ``from_json`` predicate chain, which lexed the full
+    document once PER FIELD ACCESS (4-5 parses/row in the measured plan
+    — Catalyst prunes ``from_json`` schemas per ``GetStructField``, so
+    common-subexpression elimination never merges them)."""
+    if c is None:
+        return "structural"
+    try:
+        d = json.loads(c)
+    except Exception:
+        return "structural"
+    if not isinstance(d, dict):
+        return "structural"
+    if (
+        d.get("source_id") is None
+        or d.get("record_id") is None
+        or d.get("created_by") is None
+    ):
+        return "structural"
+    refs = d.get("reference")
+    if not isinstance(refs, list) or len(refs) != 1:
+        return "structural"
+    try:
+        return constrained_type_error(d)
+    except Exception:
+        return "$"  # quarantine contract — see constrained_error_udf
+
+
+@pandas_udf(StringType())
+def site_error_udf(content: pd.Series) -> pd.Series:
+    """Structural + constrained validation, single ``json.loads`` per row."""
+    return pd.Series(
+        [_structural_then_constrained(c) for c in content], dtype="object"
+    )

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.arrowkit import chunked_kernel
 from ..functions.ids import MR_NS
 
 SYSTEM_PREFIX = "https://minmod.isi.edu/users/s/"
@@ -294,13 +295,18 @@ def _dedup_attrs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame([merge_group(rows[0]["dedup_site_id"], rows)])
 
 
-def _merge_batch_fn(batches):
-    for pdf in batches:
-        out = [
-            merge_group(dedup_id, list(sites))
-            for dedup_id, sites in zip(pdf["dedup_site_id"], pdf["sites"])
-        ]
-        yield pd.DataFrame(out, columns=_OUT_COLS)
+def _merge_per_chunk(pdf):
+    out = [
+        merge_group(dedup_id, list(sites))
+        for dedup_id, sites in zip(pdf["dedup_site_id"], pdf["sites"])
+    ]
+    return pd.DataFrame(out, columns=_OUT_COLS)
+
+
+# bounded chunks + paused cyclic GC (functions/arrowkit.py): one row here
+# is a whole collect_list group, so a full 10k-row Arrow batch holds every
+# member struct of 10k groups — far past the GC knee
+_merge_batch_fn = chunked_kernel(_merge_per_chunk, max_rows=1024)
 
 
 BIG_GROUP_THRESHOLD = 50_000
@@ -459,12 +465,14 @@ def _select_inv_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=_INV_OUT_COLS)
 
 
-def _select_inv_batch_fn(batches):
-    for pdf in batches:
-        out = []
-        for dedup_id, rows in zip(pdf["dedup_site_id"], pdf["rows"]):
-            out.extend(select_inventories_group(dedup_id, list(rows)))
-        yield pd.DataFrame(out, columns=_INV_OUT_COLS)
+def _select_inv_per_chunk(pdf):
+    out = []
+    for dedup_id, rows in zip(pdf["dedup_site_id"], pdf["rows"]):
+        out.extend(select_inventories_group(dedup_id, list(rows)))
+    return pd.DataFrame(out, columns=_INV_OUT_COLS)
+
+
+_select_inv_batch_fn = chunked_kernel(_select_inv_per_chunk, max_rows=1024)
 
 
 def select_dedup_inventories(

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.arrowkit import chunked_kernel
 from ..functions.ids import MR_NS, get_username, make_site_id
 from ..functions.rdf import site_to_triples
 from ..schemas import INGEST, RAW_SITE, TRIPLE
@@ -75,26 +76,35 @@ def split_violations(
     executed deserializer).  The bad side carries a ``violation_reason``
     column: the failing field path, or 'structural'.
     """
-    from .constrained import constrained_error_udf
+    from .constrained import site_error_udf
 
-    struct_ok = (
-        F.col("site.source_id").isNotNull()
-        & F.col("site.record_id").isNotNull()
-        & F.col("site.created_by").isNotNull()
-        & (F.size(F.coalesce(F.col("site.reference"), F.array())) == 1)
-        & F.col("path").rlike(r"^[a-zA-Z0-9_\-,./]+$")
-    )
+    path_ok = F.col("path").rlike(r"^[a-zA-Z0-9_\-,./]+$")
     if not constrained:
+        # structural-only mode keeps the JVM predicate chain (it needs the
+        # parsed ``site`` struct; used by tests and ad-hoc callers only)
+        struct_ok = (
+            F.col("site.source_id").isNotNull()
+            & F.col("site.record_id").isNotNull()
+            & F.col("site.created_by").isNotNull()
+            & (F.size(F.coalesce(F.col("site.reference"), F.array())) == 1)
+            & path_ok
+        )
         return (
             parsed.filter(struct_ok),
             parsed.filter(~struct_ok).withColumn(
                 "violation_reason", F.lit("structural")
             ),
         )
+    # Default path: structural + constrained rules fused into ONE Arrow
+    # kernel parse (operators/constrained.py _structural_then_constrained).
+    # No ``site.*`` access ⇒ Catalyst prunes ``from_json`` out of the plan
+    # entirely — the former predicate chain lexed the full document 4-5
+    # times per row (one pruned ``from_json`` per field access, verified
+    # with .explain), pure JVM cost this removes from the hot path.
     tagged = parsed.withColumn(
         "violation_reason",
-        F.when(~struct_ok, F.lit("structural")).otherwise(
-            constrained_error_udf(F.col("content"))
+        F.when(~path_ok, F.lit("structural")).otherwise(
+            site_error_udf(F.col("content"))
         ),
     )
     ok_df = tagged.filter(F.col("violation_reason").isNull()).drop(
@@ -254,8 +264,7 @@ def _normalize_batch_fn(crs_names: dict, source_scores: dict):
             if e.get("normalized_uri") is not None
         ]
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = []
             for repo, path, sha, content in zip(
                 pdf["repo"], pdf["path"], pdf["content_sha256"], pdf["content"]
@@ -304,9 +313,12 @@ def _normalize_batch_fn(crs_names: dict, source_scores: dict):
                         "path": path,
                     }
                 )
-            yield pd.DataFrame(rows, columns=SITE_REL_COLS)
+            return pd.DataFrame(rows, columns=SITE_REL_COLS)
 
-    return fn
+    # bounded chunks + paused cyclic GC: whole-batch dict construction is
+    # superlinear in task size (functions/arrowkit.py docstring has the
+    # measurements — 5.5x wall at one task-size doubling)
+    return chunked_kernel(per_chunk)
 
 
 def normalize_sites(parsed: DataFrame, vocab: dict[str, DataFrame]) -> DataFrame:
@@ -428,34 +440,36 @@ def _site_structurally_valid(site, path: str | None) -> bool:
 
 
 def _triples_batch(include_extra: bool, carry_bucket: bool):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            subjs, preds, objs, sids, buckets = [], [], [], [], []
-            bucket_col = pdf["bucket"] if carry_bucket else None
-            path_col = pdf["path"] if "path" in pdf.columns else None
-            for i, content in enumerate(pdf["content"]):
-                try:
-                    site = json.loads(content)
-                except (ValueError, TypeError):
-                    continue  # malformed document → violations table, no triples
-                if not _site_structurally_valid(
-                    site, str(path_col.iloc[i]) if path_col is not None else None
-                ):
-                    continue
-                site_id, triples = site_to_triples(site, include_extra=include_extra)
-                for s, p, o in triples:
-                    subjs.append(s)
-                    preds.append(p)
-                    objs.append(o)
-                    sids.append(site_id)
-                if carry_bucket:
-                    buckets.extend([int(bucket_col.iloc[i])] * len(triples))
-            out = {"subj": subjs, "pred": preds, "obj": objs, "site_id": sids}
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        subjs, preds, objs, sids, buckets = [], [], [], [], []
+        bucket_col = pdf["bucket"] if carry_bucket else None
+        path_col = pdf["path"] if "path" in pdf.columns else None
+        for i, content in enumerate(pdf["content"]):
+            try:
+                site = json.loads(content)
+            except (ValueError, TypeError):
+                continue  # malformed document → violations table, no triples
+            if not _site_structurally_valid(
+                site, str(path_col.iloc[i]) if path_col is not None else None
+            ):
+                continue
+            site_id, triples = site_to_triples(site, include_extra=include_extra)
+            for s, p, o in triples:
+                subjs.append(s)
+                preds.append(p)
+                objs.append(o)
+                sids.append(site_id)
             if carry_bucket:
-                out["bucket"] = buckets
-            yield pd.DataFrame(out)
+                buckets.extend([int(bucket_col.iloc[i])] * len(triples))
+        out = {"subj": subjs, "pred": preds, "obj": objs, "site_id": sids}
+        if carry_bucket:
+            out["bucket"] = buckets
+        return pd.DataFrame(out)
 
-    return fn
+    # ~127 triples per site: 512 input rows ≈ 65k output strings per
+    # chunk keeps the alive set (and Arrow batch) bounded — see
+    # functions/arrowkit.py
+    return chunked_kernel(per_chunk, max_rows=512)
 
 
 def extract_triples(ingest: DataFrame, include_extra: bool = False) -> DataFrame:

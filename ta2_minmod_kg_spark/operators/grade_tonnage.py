@@ -349,14 +349,16 @@ def _gt_batch_fn(batches):
     and draining whole Arrow batches through one Python call is ~50×
     faster and shuffles the same bytes.
     """
-    for pdf in batches:
+    from ..functions.arrowkit import chunked_kernel
+
+    def per_chunk(pdf):
         out = [
             _gt_output_row(site_id, commodity, invs)
             for site_id, commodity, invs in zip(
                 pdf["site_id"], pdf["commodity"], pdf["invs"]
             )
         ]
-        yield pd.DataFrame(
+        return pd.DataFrame(
             out,
             columns=[
                 "site_id",
@@ -367,6 +369,9 @@ def _gt_batch_fn(batches):
                 "date",
             ],
         )
+
+    # bounded chunks + paused cyclic GC — see functions/arrowkit.py
+    yield from chunked_kernel(per_chunk)(batches)
 
 
 def grade_tonnage_view(inv_rows):
