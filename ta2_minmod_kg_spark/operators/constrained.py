@@ -22,10 +22,14 @@ oracle-tested by EXECUTING the reference's own
 ``get_dataclass_deserializer(MineralSite)`` via tests/refshim.py and
 asserting accept/reject equality (tests/test_constrained.py).
 
-Execution: one Arrow-batched kernel (``constrained_error_udf``) over the
-raw ``content`` column — the same shape as the normalize kernel; payloads
+Execution: one Arrow-batched kernel (``site_error_udf``) over the raw
+``content`` column — the same shape as the normalize kernel; payloads
 never per-row through Python UDF machinery.  Short-circuits on the first
-error like the reference's raise.
+error like the reference's raise.  The kernel also owns the STRUCTURAL
+rules (parseable document, identity fields, exactly one site-level
+reference) so ``split_violations`` needs no ``from_json`` field access —
+each access would be its own full-document lex (Catalyst prunes the
+parse schema per ``GetStructField``; CSE never merges them).
 """
 
 from __future__ import annotations
@@ -345,29 +349,6 @@ def constrained_type_error(d: Any) -> Optional[str]:
     return None
 
 
-@pandas_udf(StringType())
-def constrained_error_udf(content: pd.Series) -> pd.Series:
-    out = []
-    for c in content:
-        if c is None:
-            out.append("$")
-            continue
-        try:
-            d = json.loads(c)
-        except Exception:
-            out.append("$")
-            continue
-        try:
-            out.append(constrained_type_error(d))
-        except Exception:
-            # Quarantine contract: any validator-internal error (exotic
-            # payloads the per-field guards miss) rejects the ONE record
-            # rather than failing the whole Spark job.  The reference's
-            # caller catches its deserializer's raises the same way.
-            out.append("$")
-    return pd.Series(out, dtype="object")
-
-
 def _structural_then_constrained(c) -> Optional[str]:
     """split_violations semantics in ONE parse: the structural rules
     (parseable document, identity fields present, exactly one site-level
@@ -397,7 +378,7 @@ def _structural_then_constrained(c) -> Optional[str]:
     try:
         return constrained_type_error(d)
     except Exception:
-        return "$"  # quarantine contract — see constrained_error_udf
+        return "$"  # quarantine contract: reject the ONE record, not the job
 
 
 @pandas_udf(StringType())
