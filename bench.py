@@ -93,12 +93,28 @@ BENCH_QUERIES = [
 ]
 
 
-def _new_spark(master: str):
+def _kg_parts(n_sites: int) -> int:
+    """Split count for the synthetic kg job: grows with data (like real
+    128 MB file splits — a bigger table means MORE splits, never bigger
+    ones), independent of core count.  Rows per task bounded at ~2.2k:
+    single-JVM local mode degrades superlinearly on long ArrowEvalPython
+    tasks (571k-row normalize: 17-18 s at 2.2k rows/task vs 66-141 s at
+    4.5k across repeated runs), a regime a real multi-executor cluster
+    (<=8 concurrent tasks per JVM) does not enter.  Floor 128 keeps the
+    sf0.1 headline's historical split count."""
+    return max(128, -(-n_sites // 2230))
+
+
+def _new_spark(master: str, shuffle_partitions: int | None = None):
     from ta2_minmod_kg_spark.session import get_spark
 
     cores = master.split("[")[1].rstrip("]")
     n = 32 if cores == "*" else int(cores)
-    return get_spark(app_name=f"bench-{master}", master=master, shuffle_partitions=n)
+    return get_spark(
+        app_name=f"bench-{master}",
+        master=master,
+        shuffle_partitions=shuffle_partitions if shuffle_partitions else n,
+    )
 
 
 def _kg_job(
@@ -124,11 +140,7 @@ def _kg_job(
     ).groupBy((F.col("id") % 8).alias("k")).count().count()
 
     t0 = time.time()
-    # fixed split count regardless of core count — the cluster analogy is
-    # file splits, which don't change when you add executors; it also keeps
-    # Arrow batch sizes sane (giant per-task fan-out batches pay
-    # superlinear pandas/Arrow construction cost)
-    n_parts = 128
+    n_parts = _kg_parts(n_sites)
     ingest = synthetic.synthesize_ingest(spark, n_sites, partitions=n_parts)
     ingest = ingest.persist()
     n_rows = ingest.count()
@@ -287,6 +299,11 @@ def kg_phase(cores: int, n_sites: int, steady: bool) -> None:
     the Python process exits) degrades subsequent in-process measurements
     3-5x — measured on this box.
     """
+    # shuffle partitions stay cores-proportional (the historical probe
+    # protocol): data-scaled shuffle partitioning was MEASURED WORSE here
+    # — the iterative CC doubles its wall at 513 partitions (per-round
+    # scheduling fixed cost x rounds) and dedup_gt doesn't improve, so
+    # only the SCAN splits scale with data (_kg_parts).
     s = _new_spark(f"local[{cores}]")
     r = _kg_job(
         s, n_sites, steady=steady, dispatch=not steady, distributed_cc=False

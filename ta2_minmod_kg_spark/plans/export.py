@@ -366,14 +366,17 @@ def _refval_list(v: Optional[dict]):
 
 
 def _json_batches(shaper):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = pdf.to_dict("records")
-            yield pd.DataFrame(
-                {"json": [json.dumps(shaper(r), sort_keys=True) for r in rows]}
-            )
+    from ..functions.arrowkit import chunked_kernel
 
-    return fn
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.to_dict("records")
+        return pd.DataFrame(
+            {"json": [json.dumps(shaper(r), sort_keys=True) for r in rows]}
+        )
+
+    # to_dict("records") materializes the batch as nested python dicts —
+    # bounded chunks + paused cyclic GC (functions/arrowkit.py)
+    return chunked_kernel(per_chunk, max_rows=1024)
 
 
 def mineral_site_json_rows(sites_rel: DataFrame) -> DataFrame:
@@ -679,25 +682,27 @@ def cdr_export_json_rows(
     # (format_dedup_site loops over grade_tonnage)
     full = dedup_attrs.join(gts, "dedup_site_id")
 
-    def fn(batches):
-        for pdf in batches:
-            ids, comms, docs = [], [], []
-            for r in pdf.to_dict("records"):
-                recs = cdr_records_for_row(
-                    r,
-                    [dict(g) for g in _lst(r.get("_gts"))],
-                    commodity_id2name,
-                    country_id2name,
-                    province_id2name,
-                )
-                for g, rec in zip(_lst(r.get("_gts")), recs):
-                    ids.append(r["dedup_site_id"])
-                    comms.append(g["commodity"])
-                    docs.append(json.dumps(rec, sort_keys=True))
-            yield pd.DataFrame(
-                {"dedup_site_id": ids, "commodity": comms, "json": docs}
+    from ..functions.arrowkit import chunked_kernel
+
+    def per_chunk(pdf):
+        ids, comms, docs = [], [], []
+        for r in pdf.to_dict("records"):
+            recs = cdr_records_for_row(
+                r,
+                [dict(g) for g in _lst(r.get("_gts"))],
+                commodity_id2name,
+                country_id2name,
+                province_id2name,
             )
+            for g, rec in zip(_lst(r.get("_gts")), recs):
+                ids.append(r["dedup_site_id"])
+                comms.append(g["commodity"])
+                docs.append(json.dumps(rec, sort_keys=True))
+        return pd.DataFrame(
+            {"dedup_site_id": ids, "commodity": comms, "json": docs}
+        )
 
     return full.mapInPandas(
-        fn, schema="dedup_site_id string, commodity string, json string"
+        chunked_kernel(per_chunk, max_rows=1024),
+        schema="dedup_site_id string, commodity string, json string",
     )
