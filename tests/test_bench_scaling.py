@@ -76,3 +76,17 @@ def test_fallback_basis_is_flagged():
     assert compact["median_basis"] == "all_cross"
     assert compact["n_clean_lo"] == 0 and compact["n_clean_hi"] == 1
     assert compact["n_cross_pairs"] == 1
+
+
+def test_kg_parts_scales_with_data_not_cores():
+    bench = _load_bench()
+    # floor: the sf0.1 headline keeps its historical 128 splits
+    assert bench._kg_parts(1000) == 128
+    assert bench._kg_parts(68_572) == 128
+    assert bench._kg_parts(150_000) == 128
+    # above the floor: rows per task bounded at ~2.2k (ceil division)
+    assert bench._kg_parts(500_000) == -(-500_000 // 2230)
+    assert bench._kg_parts(1_000_000) == -(-1_000_000 // 2230)
+    for n in (300_000, 700_000, 2_000_000):
+        parts = bench._kg_parts(n)
+        assert n / parts <= 2230
