@@ -39,8 +39,7 @@ def bpe_ish_token_count(text: Column) -> Column:
 def _stop_ratio(text: Column, stopwords: list[str]) -> Column:
     words = F.split(F.lower(text), r"[^a-zà-ÿ]+")
     n = F.size(words)
-    hits = F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in stopwords])))
-    # array_intersect dedups; use filter for true frequency
+    # NOTE: array_intersect would dedup; filter counts true frequency
     hits = F.size(F.filter(words, lambda w: w.isin(stopwords)))
     return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
 

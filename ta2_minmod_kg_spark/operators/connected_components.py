@@ -141,9 +141,15 @@ def connected_components(
 
     Alternating large/small-star rounds; when the live edge count drops
     below ``driver_finish_threshold`` the tail is finished with a
-    driver-side union-find (bounded memory — ~50 MB at the default).
-    Self-loops and duplicates tolerated.  Isolated nodes (absent from
-    ``edges``) are the caller's business (see canonicalize.attach_singletons).
+    driver-side union-find.  Driver memory for that tail is bounded by
+    the threshold but NOT small (VERDICT r05 #4 corrected the old
+    "~50 MB" claim): at the 2M-edge default with ~100-byte string ids
+    the parent dict plus the collected pandas frame is realistically
+    several hundred MB of driver heap — fine for the 24 GB driver this
+    engine configures (session.py), but lower the threshold on
+    memory-constrained drivers.  Self-loops and duplicates tolerated.
+    Isolated nodes (absent from ``edges``) are the caller's business
+    (see canonicalize.attach_singletons).
     """
     # materialize the input once; both node and edge views derive from it
     raw = edges.select(

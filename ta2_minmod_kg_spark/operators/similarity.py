@@ -224,19 +224,34 @@ def _bucket_pairs(u: DataFrame, max_bucket: int = 10_000) -> DataFrame:
     once per side; this shuffles each id once total.  ``max_bucket``
     guards the degenerate all-identical bucket exactly like the MinHash
     path (operators/text_dedup.py max_bucket) — an over-cap bucket is
-    skipped, never exploded into n^2 pairs on one task.
+    skipped, never exploded into n^2 pairs on one task.  A skipped
+    bucket is NOT silent (ADVICE r05): each one bumps the
+    ``bucket_pairs.skipped_ids`` Spark accumulator and logs a line to
+    the executor's stderr, so a recall cap at scale is auditable in the
+    UI/logs instead of masquerading as an oracle mismatch.
     """
     import pandas as pd
 
     g = u.groupBy("band", "bucket").agg(F.collect_list("id").alias("ids"))
+    skipped = u.sparkSession.sparkContext.accumulator(0)
 
     def fn(batches):
+        import sys as _sys
+
         for pdf in batches:
             outs_a, outs_b = [], []
             for ids in pdf["ids"]:
                 arr = np.sort(np.asarray(ids, dtype=np.int64))
                 n = len(arr)
-                if n < 2 or n > max_bucket:
+                if n < 2:
+                    continue
+                if n > max_bucket:
+                    skipped.add(n)
+                    print(
+                        f"[bucket_pairs] skipped degenerate bucket of {n} ids"
+                        f" (> max_bucket={max_bucket})",
+                        file=_sys.stderr,
+                    )
                     continue
                 ia, ib = np.triu_indices(n, k=1)
                 outs_a.append(arr[ia])
@@ -277,6 +292,23 @@ def _score_id_pairs(
             for pdf in batches:
                 if not len(pdf):
                     continue
+                # coverage guard (ADVICE r05): the broadcast path is only
+                # valid when the LUT covers the whole corpus — callers
+                # pass lut only when _bounded_vec_sample returned the
+                # complete sample.  Fail with the invariant named rather
+                # than an anonymous KeyError deep in a task.
+                missing = [
+                    i
+                    for col in (a_col, b_col)
+                    for i in pdf[col]
+                    if i not in lut
+                ]
+                if missing:
+                    raise AssertionError(
+                        f"_score_id_pairs broadcast LUT is partial: "
+                        f"{len(missing)} candidate ids missing (e.g. "
+                        f"{missing[0]}); pass lut=None to use the join path"
+                    )
                 A = np.array([lut[i] for i in pdf[a_col]])
                 B = np.array([lut[i] for i in pdf[b_col]])
                 out = pdf[[a_col, b_col]].copy()
@@ -477,11 +509,21 @@ def ivf_topk(
     q_probed = qu.mapInPandas(
         probe, "query_id bigint, qv array<double>, cluster int"
     )
-    scored = (
+    # exact re-rank via the vectorized pair kernel (VERDICT r05 #3): the
+    # former _dot was a dim-step interpreted HOF fold per (query,
+    # candidate) pair — the same anti-pattern measured at ~5x a query's
+    # budget and purged from the LSH path in r5.
+    joined = (
         q_probed.join(cu, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", _dot("qv", "cv").alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("qv").alias("_a"),
+            F.col("cv").alias("_b"),
+        )
     )
+    scored = _pair_cosine(joined, ["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

@@ -152,11 +152,16 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(documents: DataFrame, nbits: int = 64) -> DataFrame:
-    """(doc_id, bits array<int>[nbits], band keys array<bigint>[4]).
+    """(doc_id, bits array<int>[nbits], sig array<bigint>[nbits/32],
+    band keys array<bigint>[4]).
 
     Per-bit majority vote over token hashes — token hashing JVM-side
     (exact ``xxhash64`` parity), the nbits x n_tokens vote as a
-    vectorized numpy kernel (see the inline note).
+    vectorized numpy kernel (see the inline note).  ``sig`` packs the
+    bits into 32-bit halves (big-endian within each half, matching the
+    SQL ``aggregate(slice(bits,…), acc*2+b)`` fold used by the
+    driver-entry invariant) so downstream Hamming is two JVM
+    ``bit_count(xor)`` ops instead of an interpreted 64-step fold.
     """
     toks = F.transform(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: F.xxhash64(w)
@@ -171,23 +176,36 @@ def simhash_signatures(documents: DataFrame, nbits: int = 64) -> DataFrame:
     import pandas as pd
 
     shifts = np.arange(nbits, dtype=np.int64)
+    n_halves = nbits // 32
+    pack_w = np.left_shift(
+        np.int64(1), np.arange(31, -1, -1, dtype=np.int64)
+    )
 
     def vote_fn(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            bits_out = []
+            bits_out, sig_out = [], []
             for th in pdf["th"]:
                 h = np.asarray(th, dtype=np.int64)
                 ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
                 votes = 2 * ones - len(h)
-                bits_out.append((votes > 0).astype(np.int32))
+                bits = (votes > 0).astype(np.int32)
+                bits_out.append(bits)
+                b64 = bits.astype(np.int64)
+                sig_out.append(
+                    [
+                        int((b64[j * 32 : (j + 1) * 32] * pack_w).sum())
+                        for j in range(n_halves)
+                    ]
+                )
             out = pdf[["doc_id"]].copy()
             out["bits"] = bits_out
+            out["sig"] = sig_out
             yield out
 
     df = documents.select("doc_id", toks.alias("th")).mapInPandas(
-        vote_fn, "doc_id bigint, bits array<int>"
+        vote_fn, "doc_id bigint, bits array<int>, sig array<bigint>"
     )
     band_width = nbits // 4
     bands = F.array(
@@ -209,31 +227,56 @@ def simhash_signatures(documents: DataFrame, nbits: int = 64) -> DataFrame:
 
 
 def simhash_near_duplicates(
-    documents: DataFrame, max_hamming: int = 3, nbits: int = 64
+    documents: DataFrame,
+    max_hamming: int = 3,
+    nbits: int = 64,
+    sigs: DataFrame | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within max_hamming bits.
 
     Banding on 4×(nbits/4)-bit keys guarantees recall for distance ≤ 3.
+
+    r06 rebuild (VERDICT r05 #2 — the one dedup path without a
+    degenerate-bucket guard): candidate pairs come from the capped
+    ids-only ``_bucket_pairs`` idiom shared with the embedding path
+    (operators/similarity.py) — each doc_id is shuffled once per band as
+    a (band, bucket, id) triple instead of carrying the 64-int ``bits``
+    array through a bucket self-join; Hamming is computed JVM-side as
+    ``bit_count(sig_a ^ sig_b)`` over the kernel-packed 2×bigint
+    signatures instead of an interpreted zip_with+aggregate fold per
+    pair.  ``max_bucket`` skips (and counts — see _bucket_pairs) any
+    degenerate bucket of identical banded keys, exactly like the
+    MinHash (max_bucket=1000) and embedding (max_bucket=10_000) paths.
+
+    ``sigs``: optionally pass a precomputed ``simhash_signatures``
+    DataFrame (e.g. checkpointed) so callers that also need the
+    signatures pay the tokenize+vote pass once.
     """
-    sigs = simhash_signatures(documents, nbits)
-    exploded = sigs.select(
-        "doc_id", "bits", F.posexplode("bands").alias("band", "bucket")
+    from .similarity import _bucket_pairs
+
+    if sigs is None:
+        sigs = simhash_signatures(documents, nbits)
+    u = sigs.select(
+        F.col("doc_id").alias("id"), F.posexplode("bands").alias("band", "bucket")
     )
-    left = exploded.select(
-        "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a")
+    pairs = _bucket_pairs(u, max_bucket=max_bucket).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    right = exploded.select(
-        "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b")
-    )
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    s = sigs.select("doc_id", "sig")
+    hamming = None
+    for j in range(nbits // 32):
+        term = F.bit_count(F.col("sig_a")[j].bitwiseXOR(F.col("sig_b")[j]))
+        hamming = term if hamming is None else hamming + term
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.join(
+            s.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
         .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

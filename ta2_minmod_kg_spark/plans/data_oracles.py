@@ -45,7 +45,12 @@ def _read_documents(sf_dir: str):
 
 
 # Java \s is ASCII-only: [ \t\n\x0B\f\r] — mirror it exactly (python \s
-# would also split on unicode whitespace)
+# would also split on unicode whitespace).  The lower()/strip(' ') mirror
+# below additionally assumes ASCII text: Java String.toLowerCase and
+# python str.lower diverge on some non-ASCII code points (e.g. 'İ', 'ẞ'),
+# so _simhash64 asserts isascii() — a future non-ASCII corpus fails
+# loudly at oracle-build time instead of as a driver hash mismatch
+# (ADVICE r05).
 _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
@@ -56,6 +61,10 @@ def _simhash64(text: str) -> int:
     hashes; bit j set iff the vote is > 0."""
     from ..functions.xxh import xxh64
 
+    assert text.isascii(), (
+        "docs_simhash oracle mirrors Spark lower()/trim() with python "
+        "str methods, which is only exact for ASCII text — see _JAVA_WS note"
+    )
     toks = _JAVA_WS.split(text.strip(" ").lower())
     votes = [0] * 64
     for w in toks:

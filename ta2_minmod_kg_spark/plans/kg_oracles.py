@@ -876,9 +876,13 @@ def kg_grade_tonnage_oracle_sql(n_sites: int) -> str:
     (`minmodkg/grade_tonnage_model.py:245-459`, executed via
     tests/refshim.py — the same loader behind the pass(R) parity gates) is
     run on each group.  The expected totals are inlined UNROUNDED as
-    VALUES; the only SQL-side computation is ``round(x, 6)``, matching the
-    engine entry's ``F.round`` (both half-away-from-zero on doubles —
-    python's banker's ``round()`` would not).
+    VALUES; the only SQL-side computation is ``round(x, 6)`` — std::round
+    half-away-from-zero on the BINARY double.  NOTE (r06): Spark's
+    ``F.round`` is NOT equivalent — it re-parses the shortest decimal
+    repr (BigDecimal.valueOf, HALF_UP) and diverges when x*1e6 lands
+    exactly on .5 in binary; the engine entry therefore rounds with an
+    explicit floor(|x|*1e6 + 0.5) expression matching DuckDB bit-exactly
+    (plans/queries.py kg_grade_tonnage round6).
 
     Independence: zero engine code touches the expected values — the
     traversal restates explode_inventories' field mapping

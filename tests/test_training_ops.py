@@ -49,6 +49,51 @@ def test_simhash_near_duplicates(spark):
     assert ((out["doc_a"] == 1) & (out["doc_b"] == 2)).any()
 
 
+def test_simhash_sig_packing_matches_sql_fold(spark):
+    """r06: simhash_signatures packs bits→2×int64 inside the numpy vote
+    kernel; the packing must equal the SQL aggregate fold the driver-entry
+    invariant uses (slice(bits, j*32+1, 32) folded acc*2+b)."""
+    from ta2_minmod_kg_spark.operators.text_dedup import simhash_signatures
+
+    sigs = simhash_signatures(_docs(spark))
+    packed = None
+    for j in range(2):
+        half = F.aggregate(
+            F.slice(F.col("bits"), j * 32 + 1, 32),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b.cast("long"),
+        )
+        packed = half if packed is None else F.array(packed, half)
+    bad = (
+        sigs.select("sig", packed.alias("sig2"))
+        .filter(F.col("sig") != F.col("sig2"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_simhash_degenerate_bucket_capped(spark):
+    """r06 (VERDICT r05 #2): thousands of identical docs land in one
+    (band, bucket) — the capped ids-only pair builder must skip the
+    bucket (no n² pair explosion on one task) and still finish fast."""
+    from ta2_minmod_kg_spark.operators.text_dedup import simhash_near_duplicates
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical degenerate document body text").alias("text"),
+    )
+    out = simhash_near_duplicates(docs, max_hamming=3, max_bucket=100)
+    # every bucket exceeds the cap → all skipped (counted + logged, never
+    # exploded into ~4.5M pairs)
+    assert out.count() == 0
+    # under-cap corpus on the same path still finds its pairs
+    small = spark.range(0, 5).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical degenerate document body text").alias("text"),
+    )
+    assert simhash_near_duplicates(small, max_hamming=3).count() == 10
+
+
 def test_brute_force_topk_matches_numpy(spark):
     from ta2_minmod_kg_spark.operators.similarity import brute_force_topk
 
@@ -216,8 +261,8 @@ def test_docs_simhash_invariant_fires_on_corruption(spark, monkeypatch):
 
     real = text_dedup.simhash_near_duplicates
 
-    def corrupted(documents, max_hamming=3, nbits=64):
-        return real(documents, max_hamming=max_hamming, nbits=nbits).withColumn(
+    def corrupted(documents, max_hamming=3, nbits=64, **kw):
+        return real(documents, max_hamming=max_hamming, nbits=nbits, **kw).withColumn(
             "hamming", F.col("hamming") + 1
         )
 
@@ -242,8 +287,8 @@ def test_docs_simhash_invariant_fires_on_dropped_twin(spark, monkeypatch, tmp_pa
 
     real = text_dedup.simhash_near_duplicates
 
-    def dropped(documents, max_hamming=3, nbits=64):
-        out = real(documents, max_hamming=max_hamming, nbits=nbits)
+    def dropped(documents, max_hamming=3, nbits=64, **kw):
+        out = real(documents, max_hamming=max_hamming, nbits=nbits, **kw)
         return out.filter(F.col("hamming") > 0)  # drop all exact twins
 
     monkeypatch.setattr(text_dedup, "simhash_near_duplicates", dropped)
