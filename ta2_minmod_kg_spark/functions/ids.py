@@ -15,6 +15,7 @@ Two layers:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import unicodedata
@@ -40,7 +41,12 @@ _DISALLOWED_RE = re.compile(r"[^-a-z0-9]+")
 _DUP_DASH_RE = re.compile(r"-{2,}")
 
 
+@functools.lru_cache(maxsize=8192)
 def slugify(text: str) -> str:
+    """Pure function of ``text`` — cached because the hot kernels
+    (triple fan-out, id minting) re-slugify a small repertoire of
+    usernames/source ids many times per row (r06; bounded cache, record
+    ids that don't repeat just rotate through)."""
     text = unicodedata.normalize("NFKD", str(text))
     text = text.encode("ascii", "ignore").decode("ascii")
     text = _QUOTE_RE.sub("", text)

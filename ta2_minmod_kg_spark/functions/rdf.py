@@ -25,6 +25,7 @@ Everything here is plain Python over dicts — it runs inside Arrow batches
 
 from __future__ import annotations
 
+import re
 from datetime import datetime, timezone
 from typing import Optional
 
@@ -67,9 +68,18 @@ _ESCAPES = {
     "\t": "\\t",
 }
 
+# Byte-identical fast path for the former per-char join, which profiled
+# at 46% of site_to_triples (r06): almost no literal contains an
+# escapable char, so a C-speed regex containment check returns the
+# string untouched, and the rare hit pays one C-speed translate.
+_ESCAPE_TABLE = str.maketrans(_ESCAPES)
+_NEEDS_ESCAPE_RE = re.compile(r'["\\\n\r\t]')
+
 
 def escape_literal(s: str) -> str:
-    return "".join(_ESCAPES.get(c, c) for c in s)
+    if _NEEDS_ESCAPE_RE.search(s) is None:
+        return s
+    return s.translate(_ESCAPE_TABLE)
 
 
 def lit_str(v) -> str:

@@ -278,19 +278,22 @@ def build_membership(
         )
     raw = edges.select(
         F.col("u").cast("string"), F.col("v").cast("string")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
-    if raw.count() <= driver_finish_threshold:
-        # Arrow-path transfers (toPandas), not row collect(): py4j row
-        # deserialization costs ~1-2 s per 100k narrow rows and is pure
-        # scale-invariant driver tail in the scaling probes; Arrow moves
-        # the same columns in ~100 ms.  The limit(threshold+1) bounds the
-        # transfer: with few edges but many sites (sparse duplication at
-        # production scale) an unguarded toPandas would ship the whole
-        # site_id column to the driver only to discard it — the limited
-        # read returns ALL rows iff the table fits the threshold (a limit
-        # larger than the table is the table), so one bounded job both
-        # sizes the input and fetches it.
+    # ONE bounded job sizes the edge set, fetches it, and materializes
+    # the lazy checkpoint blocks (r06 — formerly an eager checkpoint job,
+    # a count job, then a separate full toPandas): a limit(threshold+1)
+    # Arrow read returns ALL rows iff the table fits the threshold (a
+    # limit larger than the table is the table).  Arrow-path transfers
+    # (toPandas), not row collect(): py4j row deserialization costs
+    # ~1-2 s per 100k narrow rows and is pure scale-invariant driver
+    # tail in the scaling probes.
+    edges_pdf = raw.limit(driver_finish_threshold + 1).toPandas()
+    if len(edges_pdf) <= driver_finish_threshold:
+        # same bounded-read trick for the site-id list: with few edges
+        # but many sites (sparse duplication at production scale) an
+        # unguarded toPandas would ship the whole site_id column to the
+        # driver only to discard it.
         ids_pdf = (
             sites_rel.select("site_id")
             .limit(driver_finish_threshold + 1)
@@ -298,7 +301,6 @@ def build_membership(
         )
         if len(ids_pdf) <= driver_finish_threshold:
             site_ids = ids_pdf["site_id"].tolist()
-            edges_pdf = raw.toPandas()
             pairs = list(zip(edges_pdf["u"].tolist(), edges_pdf["v"].tolist()))
             rows = curated.collect() if curated is not None else None
             member = _driver_membership(pairs, rows, site_ids)

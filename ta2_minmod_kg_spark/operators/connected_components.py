@@ -151,21 +151,31 @@ def connected_components(
     Isolated nodes (absent from ``edges``) are the caller's business
     (see canonicalize.attach_singletons).
     """
-    # materialize the input once; both node and edge views derive from it
+    # lazily-checkpointed input: the FIRST action materializes the blocks
+    # (truncating lineage for the iterative rounds) — an eager checkpoint
+    # here was a whole extra job before any useful work (r06)
     raw = edges.select(
         F.col("u").cast("string"), F.col("v").cast("string")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
-    # fast path: the RAW count (map-only over the checkpointed blocks, no
-    # distinct shuffle) bounds the live edge count — when it already fits
-    # the driver threshold, collect once and union-find; dedup/self-loop
-    # handling is O(n) in Python, so the distinct shuffle, the fixpoint
-    # machinery, AND the all-nodes anti-join are all skipped (3 fewer
-    # shuffles + 2 fewer jobs per call — the dominant fixed cost of the
-    # membership stage at small inputs; at production scale this branch
-    # simply never fires)
-    if raw.count() <= driver_finish_threshold:
-        return _union_find(raw.sparkSession, _edge_pairs(raw)).select(
+    # fast path: ONE bounded job sizes the input, fetches it, AND
+    # materializes the checkpoint blocks (r06 — formerly an eager
+    # checkpoint job, a count job, then a separate toPandas job): a
+    # limit(threshold+1) read returns ALL rows iff the edge set fits the
+    # driver threshold, in which case one union-find replaces the
+    # distinct shuffle, the fixpoint machinery, AND the all-nodes
+    # anti-join (3 fewer shuffles + several fewer jobs per call — the
+    # dominant fixed cost of the membership stage at small inputs; at
+    # production scale this branch transfers at most threshold+1 rows
+    # then falls through to the distributed rounds)
+    head = (
+        raw.limit(driver_finish_threshold + 1).toPandas()
+        if driver_finish_threshold > 0
+        else None
+    )
+    if head is not None and len(head) <= driver_finish_threshold:
+        pairs = zip(head["u"].tolist(), head["v"].tolist())
+        return _union_find(raw.sparkSession, pairs).select(
             F.col("u").alias("node"), F.col("v").alias("component")
         )
 

@@ -349,7 +349,7 @@ def constrained_type_error(d: Any) -> Optional[str]:
     return None
 
 
-def _structural_then_constrained(c) -> Optional[str]:
+def structural_then_constrained_parsed(c) -> tuple[Optional[str], Optional[dict]]:
     """split_violations semantics in ONE parse: the structural rules
     (parseable document, identity fields present, exactly one site-level
     reference — validators.py:44-54) checked FIRST and labelled
@@ -357,28 +357,38 @@ def _structural_then_constrained(c) -> Optional[str]:
     the former JVM ``from_json`` predicate chain, which lexed the full
     document once PER FIELD ACCESS (4-5 parses/row in the measured plan
     — Catalyst prunes ``from_json`` schemas per ``GetStructField``, so
-    common-subexpression elimination never merges them)."""
+    common-subexpression elimination never merges them).
+
+    Returns ``(error, parsed_dict)`` so callers that go on to CONSUME a
+    valid document (the fused validate+normalize kernel,
+    operators/extract.py r06) reuse this parse instead of running
+    ``json.loads`` a second time; ``parsed_dict`` is None whenever the
+    document is not a parseable dict."""
     if c is None:
-        return "structural"
+        return "structural", None
     try:
         d = json.loads(c)
     except Exception:
-        return "structural"
+        return "structural", None
     if not isinstance(d, dict):
-        return "structural"
+        return "structural", None
     if (
         d.get("source_id") is None
         or d.get("record_id") is None
         or d.get("created_by") is None
     ):
-        return "structural"
+        return "structural", d
     refs = d.get("reference")
     if not isinstance(refs, list) or len(refs) != 1:
-        return "structural"
+        return "structural", d
     try:
-        return constrained_type_error(d)
+        return constrained_type_error(d), d
     except Exception:
-        return "$"  # quarantine contract: reject the ONE record, not the job
+        return "$", d  # quarantine contract: reject the ONE record, not the job
+
+
+def _structural_then_constrained(c) -> Optional[str]:
+    return structural_then_constrained_parsed(c)[0]
 
 
 @pandas_udf(StringType())

@@ -296,11 +296,14 @@ def _dedup_attrs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _merge_per_chunk(pdf):
-    out = [
-        merge_group(dedup_id, list(sites))
-        for dedup_id, sites in zip(pdf["dedup_site_id"], pdf["sites"])
-    ]
-    return pd.DataFrame(out, columns=_OUT_COLS)
+    # column-wise accumulation (r06): same values, no per-row-dict frame
+    # inference in pandas
+    cols: dict[str, list] = {c: [] for c in _OUT_COLS}
+    for dedup_id, sites in zip(pdf["dedup_site_id"], pdf["sites"]):
+        row = merge_group(dedup_id, list(sites))
+        for c in _OUT_COLS:
+            cols[c].append(row[c])
+    return pd.DataFrame(cols, columns=_OUT_COLS)
 
 
 # bounded chunks + paused cyclic GC (functions/arrowkit.py): one row here
@@ -466,10 +469,12 @@ def _select_inv_fn(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _select_inv_per_chunk(pdf):
-    out = []
+    cols: dict[str, list] = {c: [] for c in _INV_OUT_COLS}
     for dedup_id, rows in zip(pdf["dedup_site_id"], pdf["rows"]):
-        out.extend(select_inventories_group(dedup_id, list(rows)))
-    return pd.DataFrame(out, columns=_INV_OUT_COLS)
+        for row in select_inventories_group(dedup_id, list(rows)):
+            for c in _INV_OUT_COLS:
+                cols[c].append(row[c])
+    return pd.DataFrame(cols, columns=_INV_OUT_COLS)
 
 
 _select_inv_batch_fn = chunked_kernel(_select_inv_per_chunk, max_rows=1024)

@@ -110,6 +110,15 @@ def split_violations(
     ok_df = tagged.filter(F.col("violation_reason").isNull()).drop(
         "violation_reason"
     )
+    # r06: mark the ok side so normalize_sites can FUSE validation into
+    # its own kernel — without the marker the sites plan runs two python
+    # passes over every document (site_error_udf parse + normalize
+    # parse); with it, one pass parses once and both validates and
+    # normalizes (identical output rows — the same error function gates
+    # them; asserted in tests/test_extract.py).  The attribute rides the
+    # DataFrame *object*, so it only fires when the literal ok side of
+    # this call is handed to normalize_sites (the pipeline/bench shape).
+    ok_df._prevalidated_source = parsed  # type: ignore[attr-defined]
     return ok_df, tagged.filter(F.col("violation_reason").isNotNull())
 
 
@@ -235,7 +244,9 @@ from ..schemas import SITE_REL  # noqa: E402
 SITE_REL_COLS = [f.name for f in SITE_REL.fields]
 
 
-def _normalize_batch_fn(crs_names: dict, source_scores: dict):
+def _normalize_batch_fn(
+    crs_names: dict, source_scores: dict, validate: bool = False
+):
     """Single-parse normalization kernel (P2+P3 in one Arrow pass).
 
     One ``json.loads`` per row builds every SITE_REL column.  The
@@ -245,9 +256,20 @@ def _normalize_batch_fn(crs_names: dict, source_scores: dict):
     The crs-name and source-score vocab lookups ride along as tiny
     closure dicts — the reference's own broadcast-dict pattern
     (`services/kgrel_entity.py:57-75`).
+
+    ``validate=True`` (r06) FUSES split_violations' structural +
+    constrained check into the same parse: invalid rows are skipped (they
+    belong to the violations side-table), valid rows are normalized from
+    the already-parsed dict — one python pass and one ``json.loads``
+    where the unfused plan pays two of each.  Output columns are built as
+    per-column lists (dict-of-lists → pandas), not a list of per-row
+    dicts — the row-dict construction plus pandas' per-record inference
+    was ~40% of the kernel's CPU at 2k-row chunks.
     """
-    import math as _math
-    from datetime import datetime, timezone
+    from datetime import datetime
+
+    if validate:
+        from .constrained import structural_then_constrained_parsed
 
     def parse_ns(s: str) -> int:
         if s.endswith("Z"):
@@ -265,55 +287,85 @@ def _normalize_batch_fn(crs_names: dict, source_scores: dict):
         ]
 
     def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for repo, path, sha, content in zip(
-                pdf["repo"], pdf["path"], pdf["content_sha256"], pdf["content"]
-            ):
+        cols: dict[str, list] = {c: [] for c in SITE_REL_COLS}
+        ap_site_id = cols["site_id"].append
+        ap_dedup = cols["dedup_site_id"].append
+        ap_source_id = cols["source_id"].append
+        ap_source_score = cols["source_score"].append
+        ap_record_id = cols["record_id"].append
+        ap_name = cols["name"].append
+        ap_aliases = cols["aliases"].append
+        ap_rank = cols["rank"].append
+        ap_type = cols["type"].append
+        ap_loc_wkt = cols["location_wkt"].append
+        ap_loc_crs = cols["location_crs"].append
+        ap_lat = cols["lat"].append
+        ap_lon = cols["lon"].append
+        ap_country = cols["country"].append
+        ap_state = cols["state_or_province"].append
+        ap_country_cand = cols["country_candidates"].append
+        ap_state_cand = cols["state_candidates"].append
+        ap_dt_cand = cols["deposit_type_candidates"].append
+        ap_inventories = cols["inventories"].append
+        ap_reference = cols["reference"].append
+        ap_mineral_form = cols["mineral_form"].append
+        ap_geology = cols["geology_info"].append
+        ap_discovered = cols["discovered_year"].append
+        ap_created_by = cols["created_by"].append
+        ap_modified = cols["modified_at"].append
+        ap_sha = cols["content_sha256"].append
+        ap_repo = cols["repo"].append
+        ap_path = cols["path"].append
+        for repo, path, sha, content in zip(
+            pdf["repo"], pdf["path"], pdf["content_sha256"], pdf["content"]
+        ):
+            if validate:
+                if path is not None and not _PATH_OK_RE.match(str(path)):
+                    continue
+                err, site = structural_then_constrained_parsed(content)
+                if err is not None:
+                    continue
+            else:
                 site = json.loads(content)
-                username = get_username(site["created_by"])
-                site_id = make_site_id(
-                    username, site["source_id"], str(site["record_id"])
-                )
-                loc = site.get("location_info") or {}
-                crs_uri = (loc.get("crs") or {}).get("normalized_uri")
-                crs_name = crs_names.get(crs_uri, "EPSG:4326" if crs_uri is None else None)
-                lat, lon = _wkt_centroid(loc.get("location"), crs_name)
-                rows.append(
-                    {
-                        "site_id": site_id,
-                        "dedup_site_id": None,
-                        "source_id": site["source_id"],
-                        "source_score": source_scores.get(site["source_id"]),
-                        "record_id": str(site["record_id"]),
-                        "name": site.get("name"),
-                        "aliases": site.get("aliases") or [],
-                        "rank": site.get("site_rank"),
-                        "type": site.get("site_type"),
-                        "location_wkt": loc.get("location"),
-                        "location_crs": loc.get("crs"),
-                        "lat": lat,
-                        "lon": lon,
-                        "country": norm_ids(loc.get("country")),
-                        "state_or_province": norm_ids(loc.get("state_or_province")),
-                        "country_candidates": loc.get("country") or [],
-                        "state_candidates": loc.get("state_or_province") or [],
-                        "deposit_type_candidates": site.get(
-                            "deposit_type_candidate"
-                        )
-                        or [],
-                        "inventories": site.get("mineral_inventory") or [],
-                        "reference": site.get("reference") or [],
-                        "mineral_form": site.get("mineral_form") or [],
-                        "geology_info": site.get("geology_info"),
-                        "discovered_year": site.get("discovered_year"),
-                        "created_by": site["created_by"],
-                        "modified_at": parse_ns(site["modified_at"]),
-                        "content_sha256": sha,
-                        "repo": repo,
-                        "path": path,
-                    }
-                )
-            return pd.DataFrame(rows, columns=SITE_REL_COLS)
+            username = get_username(site["created_by"])
+            site_id = make_site_id(
+                username, site["source_id"], str(site["record_id"])
+            )
+            loc = site.get("location_info") or {}
+            crs_uri = (loc.get("crs") or {}).get("normalized_uri")
+            crs_name = crs_names.get(
+                crs_uri, "EPSG:4326" if crs_uri is None else None
+            )
+            lat, lon = _wkt_centroid(loc.get("location"), crs_name)
+            ap_site_id(site_id)
+            ap_dedup(None)
+            ap_source_id(site["source_id"])
+            ap_source_score(source_scores.get(site["source_id"]))
+            ap_record_id(str(site["record_id"]))
+            ap_name(site.get("name"))
+            ap_aliases(site.get("aliases") or [])
+            ap_rank(site.get("site_rank"))
+            ap_type(site.get("site_type"))
+            ap_loc_wkt(loc.get("location"))
+            ap_loc_crs(loc.get("crs"))
+            ap_lat(lat)
+            ap_lon(lon)
+            ap_country(norm_ids(loc.get("country")))
+            ap_state(norm_ids(loc.get("state_or_province")))
+            ap_country_cand(loc.get("country") or [])
+            ap_state_cand(loc.get("state_or_province") or [])
+            ap_dt_cand(site.get("deposit_type_candidate") or [])
+            ap_inventories(site.get("mineral_inventory") or [])
+            ap_reference(site.get("reference") or [])
+            ap_mineral_form(site.get("mineral_form") or [])
+            ap_geology(site.get("geology_info"))
+            ap_discovered(site.get("discovered_year"))
+            ap_created_by(site["created_by"])
+            ap_modified(parse_ns(site["modified_at"]))
+            ap_sha(sha)
+            ap_repo(repo)
+            ap_path(path)
+        return pd.DataFrame(cols, columns=SITE_REL_COLS)
 
     # bounded chunks + paused cyclic GC: whole-batch dict construction is
     # superlinear in task size (functions/arrowkit.py docstring has the
@@ -326,6 +378,12 @@ def normalize_sites(parsed: DataFrame, vocab: dict[str, DataFrame]) -> DataFrame
 
     The crs and data-source vocabularies collapse to driver dicts (they
     are broadcast-dim sized by definition) and ship in the task closure.
+
+    When ``parsed`` is the ok side of ``split_violations`` (it carries the
+    ``_prevalidated_source`` marker), the kernel runs over the UNFILTERED
+    source and performs the validation itself — same rows out, one python
+    pass and one parse instead of two (guide §4: cross the boundary once,
+    do everything per batch).
     """
     crs_names = {
         MR_NS + r["minmod_id"]: r["name"] for r in vocab["crs"].collect()
@@ -334,9 +392,14 @@ def normalize_sites(parsed: DataFrame, vocab: dict[str, DataFrame]) -> DataFrame
         r["uri"]: (float(r["score"]) if r["score"] is not None else None)
         for r in vocab["data_source"].collect()
     }
-    base = with_lineage(parsed) if "content_sha256" not in parsed.columns else parsed
+    src = getattr(parsed, "_prevalidated_source", None)
+    validate = src is not None
+    base = src if validate else parsed
+    if "content_sha256" not in base.columns:
+        base = with_lineage(base)
     return base.select("repo", "path", "content_sha256", "content").mapInPandas(
-        _normalize_batch_fn(crs_names, source_scores), schema=SITE_REL
+        _normalize_batch_fn(crs_names, source_scores, validate=validate),
+        schema=SITE_REL,
     )
 
 
@@ -551,7 +614,7 @@ def explode_inventories(sites_rel: DataFrame, vocab: dict[str, DataFrame]) -> Da
         )
         .join(form_conv, "form_uri", "left")
     )
-    return inv.select(
+    out = inv.select(
         "site_id",
         "inv_pos",
         "commodity",
@@ -565,3 +628,20 @@ def explode_inventories(sites_rel: DataFrame, vocab: dict[str, DataFrame]) -> Da
         "grade_unit",
         "valid_gt",
     )
+    # r06: mark the exploded view with its source so grade_tonnage_view
+    # can skip the explode→groupBy round trip — all inventories of a site
+    # already live in ONE sites_rel row, so regrouping them by
+    # (site_id, commodity) shuffles data that never needed to move
+    # (optimization-guide §8: the engine knows the grouping the optimizer
+    # cannot see).  The form-conversion vocabulary collapses to a closure
+    # dict exactly like normalize_sites' crs/source-score dicts.
+    out._exploded_from = (  # type: ignore[attr-defined]
+        sites_rel,
+        {
+            MR_NS + r["minmod_id"]: (
+                float(r["conversion"]) if r["conversion"] is not None else None
+            )
+            for r in vocab["commodity_form"].collect()
+        },
+    )
+    return out

@@ -352,26 +352,104 @@ def _gt_batch_fn(batches):
     from ..functions.arrowkit import chunked_kernel
 
     def per_chunk(pdf):
-        out = [
-            _gt_output_row(site_id, commodity, invs)
-            for site_id, commodity, invs in zip(
-                pdf["site_id"], pdf["commodity"], pdf["invs"]
-            )
-        ]
-        return pd.DataFrame(
-            out,
-            columns=[
-                "site_id",
-                "commodity",
-                "contained_metal",
-                "tonnage",
-                "grade",
-                "date",
-            ],
-        )
+        cols: dict[str, list] = {c: [] for c in _GT_OUT_COLS}
+        for site_id, commodity, invs in zip(
+            pdf["site_id"], pdf["commodity"], pdf["invs"]
+        ):
+            row = _gt_output_row(site_id, commodity, invs)
+            for c in _GT_OUT_COLS:
+                cols[c].append(row[c])
+        return pd.DataFrame(cols, columns=_GT_OUT_COLS)
 
     # bounded chunks + paused cyclic GC — see functions/arrowkit.py
     yield from chunked_kernel(per_chunk)(batches)
+
+
+_GT_OUT_COLS = [
+    "site_id",
+    "commodity",
+    "contained_metal",
+    "tonnage",
+    "grade",
+    "date",
+]
+
+_MR_NS = MR  # commodity normalized_uri prefix (== functions.ids.MR_NS)
+
+
+def _gt_fused_batch_fn(form_conv: dict):
+    """Zero-shuffle GT kernel over sites_rel rows (r06).
+
+    Every inventory of a site lives in that site's single ``inventories``
+    array, so the per-(site, commodity) grouping the model needs is free:
+    bucket within the row (dict preserves doc order — the model's
+    later-wins tie-break is order-sensitive), restate explode_inventories'
+    field semantics, run the model.  Byte-equivalent to the
+    explode→groupBy path (tests/test_grade_tonnage.py parity test)."""
+
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols: dict[str, list] = {c: [] for c in _GT_OUT_COLS}
+        for site_id, inventories in zip(pdf["site_id"], pdf["inventories"]):
+            if inventories is None or len(inventories) == 0:
+                continue
+            comm2invs: dict[str, list[dict]] = {}
+            for inv in inventories:
+                if inv is None:
+                    continue
+                ce = inv.get("commodity")
+                nu = ce.get("normalized_uri") if ce is not None else None
+                if nu is None:
+                    continue
+                commodity = nu.replace(_MR_NS, "")
+                cat_raw = inv.get("category")
+                has_cat = cat_raw is not None and len(cat_raw) > 0
+                cats = [
+                    c["normalized_uri"]
+                    for c in (cat_raw if has_cat else [])
+                    if c is not None and c.get("normalized_uri") is not None
+                ]
+                ore = inv.get("ore") or {}
+                grade = inv.get("grade") or {}
+                ore_value = ore.get("value")
+                ore_unit = (ore.get("unit") or {}).get("normalized_uri")
+                grade_value = grade.get("value")
+                grade_unit = (grade.get("unit") or {}).get("normalized_uri")
+                mf = inv.get("material_form")
+                form_uri = mf.get("normalized_uri") if mf is not None else None
+                comm2invs.setdefault(commodity, []).append(
+                    {
+                        "date": inv.get("date"),
+                        "zone": inv.get("zone"),
+                        "category": cats,
+                        "material_form_conversion": (
+                            form_conv.get(form_uri)
+                            if form_uri is not None
+                            else None
+                        ),
+                        "ore_value": ore_value,
+                        "ore_unit": ore_unit,
+                        "grade_value": grade_value,
+                        "grade_unit": grade_unit,
+                        # valid_gt checks the RAW category list (unlinked
+                        # entries count), matching explode_inventories
+                        "valid_gt": (
+                            ore_value is not None
+                            and ore_unit is not None
+                            and grade_value is not None
+                            and grade_unit is not None
+                            and has_cat
+                        ),
+                    }
+                )
+            for commodity, invs in comm2invs.items():
+                row = _gt_output_row(site_id, commodity, invs)
+                for c in _GT_OUT_COLS:
+                    cols[c].append(row[c])
+        return pd.DataFrame(cols, columns=_GT_OUT_COLS)
+
+    from ..functions.arrowkit import chunked_kernel
+
+    return chunked_kernel(per_chunk)
 
 
 def grade_tonnage_view(inv_rows):
@@ -381,8 +459,17 @@ def grade_tonnage_view(inv_rows):
     commodity is normalized; ``valid_gt`` marks rows with complete
     ore/grade/category data — invalid-only commodities yield null views).
 
-    One shuffle on (site_id, commodity) via a JVM ``collect_list``
-    aggregate (map-side partials), then an Arrow batch kernel.
+    When ``inv_rows`` is the direct output of
+    ``extract.explode_inventories`` (it carries the ``_exploded_from``
+    marker), the view is computed with a ZERO-shuffle fused kernel over
+    the sites table instead: the explode→groupBy(site, commodity) round
+    trip regroups inventories that already sit together in one sites_rel
+    row, so the shuffle (and the collect_list of nested structs riding
+    it) is pure waste — guide §2.4, remove shuffles outright.
+
+    Fallback path (pre-exploded rows from storage, tests): one shuffle on
+    (site_id, commodity) via a JVM ``collect_list`` aggregate (map-side
+    partials), then an Arrow batch kernel.
 
     ``collect_list`` element order is NOT guaranteed after a shuffle, but
     the model's best-estimate tie-break is order-sensitive (later-wins on
@@ -391,6 +478,13 @@ def grade_tonnage_view(inv_rows):
     back into the reference's document order before the kernel runs.
     """
     from pyspark.sql import functions as F
+
+    src = getattr(inv_rows, "_exploded_from", None)
+    if src is not None:
+        sites_rel, form_conv = src
+        return sites_rel.select("site_id", "inventories").mapInPandas(
+            _gt_fused_batch_fn(form_conv), schema=GT_VIEW_SCHEMA
+        )
 
     grouped = inv_rows.groupBy("site_id", "commodity").agg(
         F.array_sort(

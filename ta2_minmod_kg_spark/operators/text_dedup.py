@@ -113,7 +113,12 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
-    # bucket-size cap guards the degenerate all-identical bucket
+    # bucket-size cap guards the degenerate all-identical bucket.
+    # NOTE (r06): rebuilding this on the _bucket_pairs collect_list
+    # kernel was MEASURED SLOWER at sf0.1 (2.0 s vs 1.35 s best-of-3) —
+    # the minhash bucket table is almost entirely singleton buckets, so
+    # the window+self-join (whose exchange Catalyst reuses across the
+    # aliases) beats a python pair kernel here; kept as-is.
     sized = banded.withColumn(
         "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("bsz") <= max_bucket)

@@ -371,34 +371,39 @@ def make_record(n: int, n_sites: int, expert: bool = False) -> dict:
 def _gen_batch(n_sites: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # column-wise accumulation (r06): identical rows/values, but
+            # pandas builds the frame from ready columns instead of
+            # re-inferring keys from a list of per-row dicts
+            repos: list = []
+            paths: list = []
+            commits: list = []
+            contents: list = []
             for n in pdf["id"]:
                 n = int(n)
                 src = source_of(n, n_sites)
                 bucket = n % 64
                 base = make_record(n, n_sites)
-                rows.append(
-                    {
-                        "repo": repo_of(n),
-                        "path": f"{SYSTEM_USERNAME}/src{src}/{bucket}/rec-{n}.json",
-                        "commit": f"{_mix(n, 60):016x}",
-                        "lang": "json",
-                        "content": json.dumps(base, sort_keys=True),
-                    }
-                )
+                repos.append(repo_of(n))
+                paths.append(f"{SYSTEM_USERNAME}/src{src}/{bucket}/rec-{n}.json")
+                commits.append(f"{_mix(n, 60):016x}")
+                contents.append(json.dumps(base, sort_keys=True))
                 if has_expert_dup(n):
                     dup = make_record(n, n_sites, expert=True)
-                    rows.append(
-                        {
-                            "repo": repo_of(n),
-                            "path": f"{EXPERT_USERNAME}/src{src}/{bucket}/rec-{n}.json",
-                            "commit": f"{_mix(n, 61):016x}",
-                            "lang": "json",
-                            "content": json.dumps(dup, sort_keys=True),
-                        }
+                    repos.append(repo_of(n))
+                    paths.append(
+                        f"{EXPERT_USERNAME}/src{src}/{bucket}/rec-{n}.json"
                     )
+                    commits.append(f"{_mix(n, 61):016x}")
+                    contents.append(json.dumps(dup, sort_keys=True))
             yield pd.DataFrame(
-                rows, columns=["repo", "path", "commit", "lang", "content"]
+                {
+                    "repo": repos,
+                    "path": paths,
+                    "commit": commits,
+                    "lang": ["json"] * len(repos),
+                    "content": contents,
+                },
+                columns=["repo", "path", "commit", "lang", "content"],
             )
 
     return fn
@@ -415,19 +420,18 @@ def synthesize_ingest(spark, n_sites: int, partitions: int | None = None):
 def _edges_batch(n_sites: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            ms1: list = []
+            ms2: list = []
             for n in pdf["id"]:
                 n = int(n)
                 _, pos = cluster_of(n, n_sites)
                 if pos > 0:
                     # members are index-consecutive → predecessor is n-1
-                    rows.append(
-                        {
-                            "ms_1": site_id_of(n - 1, n_sites),
-                            "ms_2": site_id_of(n, n_sites),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["ms_1", "ms_2"])
+                    ms1.append(site_id_of(n - 1, n_sites))
+                    ms2.append(site_id_of(n, n_sites))
+            yield pd.DataFrame(
+                {"ms_1": ms1, "ms_2": ms2}, columns=["ms_1", "ms_2"]
+            )
 
     return fn
 

@@ -89,3 +89,46 @@ def test_explode_inventories(spark):
     assert inv["valid_gt"].any()
     # material-form conversions resolved via the broadcast join
     assert inv["material_form_conversion"].notna().sum() > 0
+
+
+def test_fused_normalize_matches_unfused(spark):
+    """r06: normalize_sites fuses split_violations' validation into its own
+    kernel when handed the marked ok side (one parse/pass instead of two).
+    The fused output must equal the unfused kernel run on the filtered ok
+    rows — including on a corpus WITH violations (bad path charset, broken
+    JSON, constrained-type rejects)."""
+    ingest = synthetic.synthesize_ingest(spark, 60, partitions=4)
+    # plant violations: a bad path, a broken document, a bad confidence
+    good = ingest.limit(1).collect()[0]
+    bad_rows = [
+        (good["repo"], "bad path with spaces!", "c0", "json", good["content"]),
+        (good["repo"], "u/broken.json", "c1", "json", "{not json"),
+        (
+            good["repo"],
+            "u/badconf.json",
+            "c2",
+            "json",
+            good["content"].replace('"confidence": 0.99', '"confidence": 7.5'),
+        ),
+    ]
+    dirty = ingest.unionAll(
+        spark.createDataFrame(bad_rows, schema=ingest.schema)
+    )
+    vdfs = vocab.vocab_dataframes(spark)
+    parsed = extract.parse_sites(dirty)
+    ok, bad = extract.split_violations(parsed)
+    assert hasattr(ok, "_prevalidated_source")
+    assert bad.count() >= 2  # path + broken JSON rejected at minimum
+
+    fused = extract.normalize_sites(ok, vdfs).toPandas()
+    # unfused: strip the marker so normalize runs on the filtered rows
+    ok_plain = ok.select(*ok.columns)
+    assert not hasattr(ok_plain, "_prevalidated_source")
+    unfused = extract.normalize_sites(ok_plain, vdfs).toPandas()
+
+    fused = fused.sort_values("site_id").reset_index(drop=True)
+    unfused = unfused.sort_values("site_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fused, unfused)
+    assert len(fused) == ok.count()
