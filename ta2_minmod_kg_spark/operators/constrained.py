@@ -34,6 +34,7 @@ parse schema per ``GetStructField``; CSE never merges them).
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 from typing import Any, Optional
@@ -45,7 +46,16 @@ from pyspark.sql.types import StringType
 
 
 def _is_cleaned(s: Any) -> bool:
-    return isinstance(s, str) and len(s) > 0 and s.strip() == s
+    # equivalent to `s.strip() == s` without allocating the stripped
+    # copy: strip() removes exactly the chars for which isspace() is
+    # true, so a string equals its strip iff neither end char is
+    # whitespace (r06; this predicate runs ~40x per record)
+    return (
+        isinstance(s, str)
+        and len(s) > 0
+        and not s[0].isspace()
+        and not s[-1].isspace()
+    )
 
 
 def _confidence_err(v: Any) -> bool:
@@ -54,9 +64,8 @@ def _confidence_err(v: Any) -> bool:
     return not (isinstance(v, (int, float)) and 0.0 <= v <= 1.0)
 
 
-def _is_url(s: Any) -> bool:
-    if not isinstance(s, str) or " " in s:
-        return False
+@functools.lru_cache(maxsize=16384)
+def _is_url_str(s: str) -> bool:
     try:
         r = urlparse(s)
     except ValueError:
@@ -65,6 +74,15 @@ def _is_url(s: Any) -> bool:
         # record — here that means "not a URL".
         return False
     return len(r.scheme) > 0 and len(r.netloc) > 0
+
+
+def _is_url(s: Any) -> bool:
+    if not isinstance(s, str) or " " in s:
+        return False
+    # cached: normalized_uri values are a small vocabulary repertoire
+    # repeated across millions of records; urlparse was ~30% of the
+    # validation walk (r06; pure function, bounded cache)
+    return _is_url_str(s)
 
 
 def _int_err(v: Any) -> bool:

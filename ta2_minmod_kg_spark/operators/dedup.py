@@ -110,10 +110,13 @@ DEDUP_ATTRS_SCHEMA = (
 )
 
 _ATTR_INPUT_COLS = [
+    # NOTE: created_by deliberately absent — with_site_score folds it
+    # into is_expert/score BEFORE the groupBy, and merge_group never
+    # reads it, so carrying it in the collected struct only widened the
+    # shuffle (guide §2.3, r06)
     "site_id",
     "source_id",
     "record_id",
-    "created_by",
     "modified_at",
     "score",
     "is_expert",
