@@ -132,6 +132,81 @@ def test_geology_merge_per_subattr():
     assert geo["host_rock"]["type"] == {"value": "basalt", "refid": "site__2"}
 
 
+def test_geology_merge_short_circuit_matches_full_walk():
+    """r06 O7: _merge_geology walks only the geology-bearing subsequence.
+    Pin it against the straightforward full-ranked-list walk over a
+    deterministic fuzz corpus (incl. geology-free groups, empty dicts,
+    rocks with null/partial sub-fields)."""
+    import random
+
+    from ta2_minmod_kg_spark.operators.dedup import _merge_geology
+
+    def reference_walk(ranked):
+        def first(getter):
+            for row in ranked:
+                v = getter(row)
+                if v is not None:
+                    return {"value": v, "refid": row["site_id"]}
+            return None
+
+        out = {}
+        for f in (
+            "alteration",
+            "concentration_process",
+            "ore_control",
+            "structure",
+            "tectonic",
+        ):
+            r = first(lambda row, f=f: (row.get("geology_info") or {}).get(f))
+            if r is not None:
+                out[f] = r
+        for rock in ("host_rock", "associated_rock"):
+            sub = {}
+            for f in ("unit", "type"):
+                r = first(
+                    lambda row, rk=rock, f=f: (
+                        (row.get("geology_info") or {}).get(rk) or {}
+                    ).get(f)
+                )
+                if r is not None:
+                    sub[f] = r
+            if sub:
+                out[rock] = sub
+        return out or None
+
+    rng = random.Random(42)
+    fields = (
+        "alteration",
+        "concentration_process",
+        "ore_control",
+        "structure",
+        "tectonic",
+    )
+
+    def rand_geo():
+        g = {f: f[:2] + str(rng.randint(0, 3)) for f in fields if rng.random() < 0.4}
+        for rock in ("host_rock", "associated_rock"):
+            if rng.random() < 0.5:
+                sub = {
+                    k: k[0] + str(rng.randint(0, 2))
+                    for k in ("unit", "type")
+                    if rng.random() < 0.6
+                }
+                g[rock] = sub or None
+        # empty dict (not None) is a distinct input shape — keep some
+        return g if (g or rng.random() < 0.5) else {}
+
+    for _ in range(3000):
+        ranked = [
+            {
+                "site_id": f"s{i}",
+                "geology_info": rand_geo() if rng.random() < 0.35 else None,
+            }
+            for i in range(rng.randint(1, 6))
+        ]
+        assert _merge_geology(ranked) == reference_walk(ranked)
+
+
 def test_top5_deposit_types():
     mr = "https://minmod.isi.edu/resource/"
     rows = [
