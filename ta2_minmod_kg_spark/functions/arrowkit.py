@@ -71,3 +71,38 @@ def chunked_kernel(
                     yield out
 
     return gen
+
+
+def chunked_arrow_kernel(
+    per_chunk,
+    max_rows: int = DEFAULT_CHUNK_ROWS,
+):
+    """``chunked_kernel`` for ``mapInArrow``: same bounded chunks + paused
+    cyclic GC, but the slices are zero-copy ``pyarrow.RecordBatch`` views
+    and ``per_chunk`` returns a ``RecordBatch`` (or None/empty).
+
+    For kernels whose output is flat columns of python scalars, building
+    the record batch directly with ``pa.array`` halves the output
+    conversion versus the mapInPandas path's pandas-frame construction +
+    per-column ``Array.from_pandas`` (measured on the triple fan-out:
+    58.6 → 29.9 µs per input row of pure conversion) — the batch is the
+    wire format, so there is nothing pandas adds but overhead (guide
+    §4.2).
+    """
+
+    def gen(batches):
+        for rb in batches:
+            n = rb.num_rows
+            for start in range(0, n, max_rows):
+                chunk = rb.slice(start, max_rows) if n > max_rows else rb
+                was_enabled = gc.isenabled()
+                gc.disable()
+                try:
+                    out = per_chunk(chunk)
+                finally:
+                    if was_enabled:
+                        gc.enable()
+                if out is not None and out.num_rows:
+                    yield out
+
+    return gen

@@ -502,18 +502,32 @@ def _site_structurally_valid(site, path: str | None) -> bool:
     return True
 
 
-def _triples_batch(include_extra: bool, carry_bucket: bool):
-    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+def _triples_batch(include_extra: bool, carry_bucket: bool, out_schema):
+    """Arrow-native fan-out kernel (``mapInArrow``).
+
+    The output is 4-5 FLAT columns of python strings/ints, so the record
+    batch is built directly with ``pa.array`` — the mapInPandas path's
+    pandas-frame construction + per-column ``Array.from_pandas`` was pure
+    conversion overhead on ~130 emitted strings per input row (measured
+    58.6 → 29.9 µs/input row, guide §4.2: the batch IS the wire format).
+    Values and row order are identical; only the conversion layer moved.
+    """
+    import pyarrow as pa
+
+    from ..functions.arrowkit import chunked_arrow_kernel
+
+    def per_chunk(rb) -> "pa.RecordBatch | None":
         subjs, preds, objs, sids, buckets = [], [], [], [], []
-        bucket_col = pdf["bucket"] if carry_bucket else None
-        path_col = pdf["path"] if "path" in pdf.columns else None
-        for i, content in enumerate(pdf["content"]):
+        names = rb.schema.names
+        bucket_col = rb.column("bucket").to_pylist() if carry_bucket else None
+        path_col = rb.column("path").to_pylist() if "path" in names else None
+        for i, content in enumerate(rb.column("content").to_pylist()):
             try:
                 site = json.loads(content)
             except (ValueError, TypeError):
                 continue  # malformed document → violations table, no triples
             if not _site_structurally_valid(
-                site, str(path_col.iloc[i]) if path_col is not None else None
+                site, str(path_col[i]) if path_col is not None else None
             ):
                 continue
             site_id, triples = site_to_triples(site, include_extra=include_extra)
@@ -523,16 +537,17 @@ def _triples_batch(include_extra: bool, carry_bucket: bool):
                 objs.append(o)
                 sids.append(site_id)
             if carry_bucket:
-                buckets.extend([int(bucket_col.iloc[i])] * len(triples))
-        out = {"subj": subjs, "pred": preds, "obj": objs, "site_id": sids}
-        if carry_bucket:
-            out["bucket"] = buckets
-        return pd.DataFrame(out)
+                buckets.extend([int(bucket_col[i])] * len(triples))
+        cols = [subjs, preds, objs, sids] + ([buckets] if carry_bucket else [])
+        return pa.RecordBatch.from_arrays(
+            [pa.array(v, type=f.type) for v, f in zip(cols, out_schema)],
+            schema=out_schema,
+        )
 
     # ~127 triples per site: 512 input rows ≈ 65k output strings per
     # chunk keeps the alive set (and Arrow batch) bounded — see
     # functions/arrowkit.py
-    return chunked_kernel(per_chunk, max_rows=512)
+    return chunked_arrow_kernel(per_chunk, max_rows=512)
 
 
 def extract_triples(ingest: DataFrame, include_extra: bool = False) -> DataFrame:
@@ -555,8 +570,11 @@ def extract_triples(ingest: DataFrame, include_extra: bool = False) -> DataFrame
         )
     else:
         schema = TRIPLE
-    return ingest.select(*cols).mapInPandas(
-        _triples_batch(include_extra, carry), schema=schema
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return ingest.select(*cols).mapInArrow(
+        _triples_batch(include_extra, carry, to_arrow_schema(schema)),
+        schema=schema,
     )
 
 

@@ -78,6 +78,51 @@ def test_ingest_pipeline(spark):
     assert set(expected) <= got
 
 
+def test_extract_triples_arrow_kernel_exact(spark):
+    """r06 O8: extract_triples moved from mapInPandas to an Arrow-native
+    mapInArrow kernel.  Assert EXACT multiset equality with the per-row
+    single-node emitter over the full corpus — plus the bucket-carrying
+    variant and quarantine behavior (malformed JSON / bad path charset
+    emit nothing, valid rows are unaffected)."""
+    from collections import Counter
+
+    ingest = synthetic.synthesize_ingest(spark, N, partitions=4)
+    raw = ingest.select("repo", "path", "content").toPandas()
+
+    expected = Counter()
+    for _, r in raw.iterrows():
+        site = json.loads(r["content"])
+        sid, triples = site_to_triples(site)
+        for s, p, o in triples:
+            expected[(s, p, o, sid)] += 1
+
+    tp = extract.extract_triples(ingest).toPandas()
+    got = Counter(map(tuple, tp[["subj", "pred", "obj", "site_id"]].values))
+    assert got == expected
+
+    # bucket-carrying variant: every triple tagged with its record's bucket
+    bucketed = ingest.withColumn(
+        "bucket", (F.xxhash64("path") % 4).cast("int")
+    )
+    tb = extract.extract_triples(bucketed).toPandas()
+    assert Counter(map(tuple, tb[["subj", "pred", "obj", "site_id"]].values)) == expected
+    assert set(tb.columns) == {"subj", "pred", "obj", "site_id", "bucket"}
+    assert tb["bucket"].notna().all()
+
+    # quarantine: malformed JSON and a bad path charset emit no triples
+    poisoned = ingest.unionByName(
+        spark.createDataFrame(
+            [
+                ("repo", "ok/name.json", "c", "en", "{not json"),
+                ("repo", "bad name!.json", "c", "en", raw["content"].iloc[0]),
+            ],
+            ingest.schema,
+        )
+    )
+    tq = extract.extract_triples(poisoned).toPandas()
+    assert Counter(map(tuple, tq[["subj", "pred", "obj", "site_id"]].values)) == expected
+
+
 def test_explode_inventories(spark):
     ingest = synthetic.synthesize_ingest(spark, N, partitions=4)
     parsed, _ = extract.split_violations(extract.parse_sites(ingest))
